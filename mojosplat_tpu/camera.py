@@ -1,0 +1,128 @@
+"""Camera model (JAX pytree).
+
+Mirrors the reference ``Camera`` dataclass (/root/reference/mojosplat/utils.py:5-31):
+world-to-camera rotation ``R`` (3,3), translation ``T`` (3,), image size ``H, W``,
+pinhole intrinsics ``fx, fy, cx, cy`` and ``near=0.1`` / ``far=100.0`` planes.
+
+TPU-native differences from the reference:
+  - Registered as a JAX pytree so cameras can be jit arguments, vmapped over
+    (a batched camera axis replaces the reference's dormant ``C`` dimension,
+    kernels/projection.mojo:14), and sharded over a device mesh.
+  - ``H``/``W`` are static metadata (they determine output shapes); all other
+    fields are traced arrays, so moving/zooming the camera never recompiles.
+  - ``view_matrix`` / ``K`` are derived properties instead of mutated state
+    (utils.py:21-31 builds them in ``__post_init__``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["R", "T", "fx", "fy", "cx", "cy", "near", "far"],
+    meta_fields=["H", "W"],
+)
+@dataclasses.dataclass(frozen=True)
+class Camera:
+    """Pinhole camera with world-to-camera extrinsics.
+
+    Leading batch dimensions are allowed on every data field (e.g. ``R`` of
+    shape ``(B, 3, 3)``) for batched multi-view rendering.
+    """
+
+    R: jax.Array  # (..., 3, 3) world-to-camera rotation
+    T: jax.Array  # (..., 3)    world-to-camera translation
+    H: int
+    W: int
+    fx: jax.Array
+    fy: jax.Array
+    cx: jax.Array
+    cy: jax.Array
+    near: jax.Array
+    far: jax.Array
+
+    @staticmethod
+    def create(
+        R,
+        T,
+        H: int,
+        W: int,
+        fx,
+        fy,
+        cx,
+        cy,
+        near=0.1,
+        far=100.0,
+        dtype=jnp.float32,
+    ) -> "Camera":
+        """Build a camera, coercing scalars/arrays to the given dtype."""
+        as_arr = lambda v: jnp.asarray(v, dtype=dtype)
+        return Camera(
+            R=as_arr(R),
+            T=as_arr(T),
+            H=int(H),
+            W=int(W),
+            fx=as_arr(fx),
+            fy=as_arr(fy),
+            cx=as_arr(cx),
+            cy=as_arr(cy),
+            near=as_arr(near),
+            far=as_arr(far),
+        )
+
+    @property
+    def view_matrix(self) -> jax.Array:
+        """(..., 4, 4) world-to-camera matrix [R | T; 0 0 0 1] (utils.py:21-29)."""
+        batch = self.R.shape[:-2]
+        eye = jnp.broadcast_to(jnp.eye(4, dtype=self.R.dtype), batch + (4, 4))
+        vm = eye.at[..., :3, :3].set(self.R)
+        vm = vm.at[..., :3, 3].set(self.T)
+        return vm
+
+    @property
+    def K(self) -> jax.Array:
+        """(..., 3, 3) intrinsics matrix (utils.py:30-31)."""
+        fx, fy, cx, cy = jnp.broadcast_arrays(self.fx, self.fy, self.cx, self.cy)
+        z = jnp.zeros_like(fx)
+        o = jnp.ones_like(fx)
+        rows = jnp.stack(
+            [
+                jnp.stack([fx, z, cx], axis=-1),
+                jnp.stack([z, fy, cy], axis=-1),
+                jnp.stack([z, z, o], axis=-1),
+            ],
+            axis=-2,
+        )
+        return rows
+
+    @property
+    def position(self) -> jax.Array:
+        """(..., 3) camera center in world coordinates: -R^T @ T."""
+        return -jnp.einsum("...ji,...j->...i", self.R, self.T)
+
+
+def look_at(eye, target, up) -> tuple[jax.Array, jax.Array]:
+    """World-to-camera (R, T) for a camera at ``eye`` looking at ``target``.
+
+    gsplat convention: +X right, +Y down, +Z forward into the scene
+    (/root/reference/render_sample.py:12-30).
+    """
+    eye = jnp.asarray(eye, dtype=jnp.float32)
+    target = jnp.asarray(target, dtype=jnp.float32)
+    up = jnp.asarray(up, dtype=jnp.float32)
+
+    def _normalize(v):
+        return v / jnp.maximum(jnp.linalg.norm(v), 1e-12)
+
+    forward = _normalize(target - eye)
+    right = _normalize(jnp.cross(forward, up))
+    down = jnp.cross(right, forward)
+    R = jnp.stack([right, down, forward], axis=0)
+    T = -R @ eye
+    return R, T

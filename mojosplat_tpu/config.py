@@ -1,0 +1,73 @@
+"""Render configuration: the numerical contract of the pipeline.
+
+Every constant that the reference scatters across files is gathered here so the
+whole pipeline shares one frozen, hashable config (usable as a jit static arg).
+
+Reference provenance (``/root/reference``):
+  - ``tile_size = 16``: render.py:9
+  - ``eps2d = 0.3``: projection.py:334, kernels/projection.mojo:209
+  - ``alpha_threshold = 1/255``: kernels/projection.mojo:74,
+    kernels/rasterization.mojo:13
+  - ``max_alpha = 0.999``: kernels/rasterization.mojo:143
+  - ``transmittance_eps = 1e-4`` (early termination): kernels/rasterization.mojo:148
+  - ``radius_extend = 3.33``: projection.py:266-267, kernels/projection.mojo:214
+  - ``radius_clip = 0.0``: kernels/projection.mojo:9
+  - opacity-aware radius (gsplat CUDA semantics): kernels/projection.mojo:214-226.
+    The reference's torch backend uses the plain 3.33 radius instead
+    (projection.py:266-267); we follow the gsplat/mojo variant by default because
+    gsplat is the correctness oracle (SURVEY.md section 7 "hard parts"), with a
+    flag to reproduce the torch variant.
+  - near/far plane taken from the camera (projection.py:335-336), fixing the
+    mojo kernel's hardcoded ``near_plane=0.1`` divergence
+    (kernels/projection.mojo:59) noted in SURVEY.md.
+
+TPU-specific fields (no reference equivalent — these exist to keep all shapes
+static so XLA never recompiles across scenes/frames, unlike the reference which
+JIT-specializes per (N, H, W, NIntersections), README.md:27):
+  - ``max_tile_span``: per-gaussian tile footprint cap (per axis).
+  - ``isect_padding_multiplier``: intersection-buffer capacity as a multiple of N.
+  - ``tile_capacity``: per-tile dense-table capacity for the reference rasterizer.
+  - ``chunk_size``: gaussians blended per vectorized chunk.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderConfig:
+    # --- shared numerical contract (gsplat parity) ---
+    tile_size: int = 16
+    eps2d: float = 0.3
+    alpha_threshold: float = 1.0 / 255.0
+    max_alpha: float = 0.999
+    transmittance_eps: float = 1e-4
+    radius_extend: float = 3.33
+    radius_clip: float = 0.0
+    opacity_aware_radius: bool = True
+
+    # --- static-shape budget knobs (TPU-native; avoid recompiles) ---
+    # Max tiles a single gaussian may claim along each axis; larger footprints
+    # are truncated symmetrically around the center tile (overflow is counted
+    # and surfaced in aux outputs, never silent — unlike binning.py:202-206).
+    max_tile_span: int = 8
+    # Intersection buffer capacity = isect_padding_multiplier * N (rounded up
+    # to a multiple of 1024); entries past capacity are dropped and counted.
+    isect_padding_multiplier: int = 4
+    # Dense per-tile table capacity for the pure-JAX tiled rasterizer.
+    tile_capacity: int = 512
+    # Gaussians blended per vectorized chunk inside the rasterizer.
+    chunk_size: int = 64
+
+    def __post_init__(self):
+        if self.tile_size <= 0:
+            raise ValueError(f"tile_size must be positive, got {self.tile_size}")
+        if self.tile_capacity % self.chunk_size != 0:
+            raise ValueError(
+                "tile_capacity must be a multiple of chunk_size, got "
+                f"{self.tile_capacity} % {self.chunk_size}"
+            )
+
+
+DEFAULT_CONFIG = RenderConfig()

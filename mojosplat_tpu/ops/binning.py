@@ -1,0 +1,176 @@
+"""Tile binning: gaussian -> (tile, depth)-sorted intersection lists (pure XLA).
+
+Replaces both reference backends with a single fully-vectorized XLA program:
+  - the gsplat CUDA path (isect_tiles radix sort + isect_offset_encode,
+    /root/reference/mojosplat/binning.py:41-102), and
+  - the torch path's Python double loop over gaussians x tiles
+    (binning.py:170-209) and two-pass stable argsort (binning.py:217-231).
+
+TPU-native design (SURVEY.md section 7): all shapes are *static* so changing
+scenes never recompiles — unlike the reference, which JIT-specializes its
+rasterizer on the intersection count every frame (rasterization.py:177,
+README.md:27). Three static budgets bound the dynamic quantities:
+
+  1. ``max_tile_span`` caps the per-gaussian tile footprint per axis; larger
+     footprints are truncated symmetrically around the gaussian's center tile.
+  2. ``capacity`` caps the total intersection count; surplus entries are
+     dropped by the scatter's OOB-drop mode.
+  3. Padding entries carry the sentinel ``tile_id == n_tiles`` which sorts past
+     every real tile, so downstream range lookups need no masking.
+
+Both truncation and capacity overflow are *counted and surfaced* in the aux
+output instead of silently printed and dropped (binning.py:202-206).
+
+The sort is a single stable ``jax.lax.sort`` keyed lexicographically on
+(tile_id, depth) — the vectorized equivalent of the torch backend's
+sort-by-depth-then-stable-sort-by-tile (binning.py:223-229). Tile ranges come
+from one vectorized ``searchsorted`` (binning.py:252-256).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import DEFAULT_CONFIG, RenderConfig
+
+
+class BinningAux(NamedTuple):
+    """Observability counters (all traced scalars, int32)."""
+
+    num_isects: jax.Array  # real intersections kept (<= capacity)
+    capacity_overflow: jax.Array  # intersections dropped because buffer filled
+    span_truncated: jax.Array  # tile slots lost to per-gaussian span capping
+
+
+class BinningResult(NamedTuple):
+    """Sorted intersection lists plus per-tile ranges.
+
+    gaussian_ids: (capacity,) int32 gaussian index per intersection, sorted by
+        (tile, depth); padding entries are -1.
+    tile_ids: (capacity,) int32 flat tile id per entry; padding = n_tiles.
+    tile_ranges: (tiles_h, tiles_w, 2) int32 [start, end) into the sorted lists
+        (same layout as the reference's tile_ranges, binning.py:258-260).
+    aux: BinningAux counters.
+    """
+
+    gaussian_ids: jax.Array
+    tile_ids: jax.Array
+    tile_ranges: jax.Array
+    aux: BinningAux
+
+
+def isect_capacity(n_gaussians: int, config: RenderConfig) -> int:
+    """Static intersection-buffer capacity for N gaussians."""
+    cap = config.isect_padding_multiplier * max(int(n_gaussians), 1)
+    return int(-(-cap // 1024) * 1024)
+
+
+def num_tiles(img_height: int, img_width: int, tile_size: int) -> tuple[int, int]:
+    """Tile grid dims, ceil(H/ts) x ceil(W/ts) (binning.py:26-27)."""
+    return math.ceil(img_height / tile_size), math.ceil(img_width / tile_size)
+
+
+def bin_gaussians_to_tiles(
+    means2d: jax.Array,  # (N, 2) pixel-space centers
+    radii: jax.Array,  # (N, 2) int32 conservative radii (0 => culled)
+    depths: jax.Array,  # (N,) camera-space z
+    img_height: int,
+    img_width: int,
+    config: RenderConfig = DEFAULT_CONFIG,
+    capacity: int | None = None,
+) -> BinningResult:
+    """Bin gaussians into screen tiles, depth-sorted within each tile.
+
+    Same role as bin_gaussians_to_tiles (binning.py:8-37) without the backend
+    dispatch.
+    """
+    N = means2d.shape[0]
+    ts = config.tile_size
+    span = config.max_tile_span
+    th, tw = num_tiles(img_height, img_width, ts)
+    n_tiles = th * tw
+    if capacity is None:
+        capacity = isect_capacity(N, config)
+
+    x, y = means2d[:, 0], means2d[:, 1]
+    rx = radii[:, 0].astype(means2d.dtype)
+    ry = radii[:, 1].astype(means2d.dtype)
+    valid = (radii[:, 0] > 0) & (radii[:, 1] > 0)
+
+    # Tile-space AABB, [min, max) exclusive, clamped to the grid (gsplat
+    # isect_tiles convention; the torch backend clamps in pixel space first,
+    # binning.py:146-155, which is equivalent at the tile granularity).
+    tx_min = jnp.clip(jnp.floor((x - rx) / ts), 0, tw).astype(jnp.int32)
+    tx_max = jnp.clip(jnp.ceil((x + rx) / ts), 0, tw).astype(jnp.int32)
+    ty_min = jnp.clip(jnp.floor((y - ry) / ts), 0, th).astype(jnp.int32)
+    ty_max = jnp.clip(jnp.ceil((y + ry) / ts), 0, th).astype(jnp.int32)
+
+    span_x = jnp.where(valid, tx_max - tx_min, 0)
+    span_y = jnp.where(valid, ty_max - ty_min, 0)
+    orig_area = span_x * span_y
+
+    # Symmetric truncation to the static per-axis span budget.
+    excess_x = jnp.maximum(span_x - span, 0)
+    excess_y = jnp.maximum(span_y - span, 0)
+    tx_min = tx_min + excess_x // 2
+    ty_min = ty_min + excess_y // 2
+    span_x = jnp.minimum(span_x, span)
+    span_y = jnp.minimum(span_y, span)
+    counts = span_x * span_y
+    span_truncated = jnp.sum(orig_area - counts)
+
+    offsets = jnp.cumsum(counts) - counts  # exclusive prefix sum
+    total = jnp.where(N > 0, offsets[-1] + counts[-1], 0).astype(jnp.int32)
+
+    # Candidate (gaussian, local-tile) grid: (N, span, span).
+    ky = jax.lax.broadcasted_iota(jnp.int32, (N, span, span), 1)
+    kx = jax.lax.broadcasted_iota(jnp.int32, (N, span, span), 2)
+    cand_ok = (ky < span_y[:, None, None]) & (kx < span_x[:, None, None])
+    tile_id = (ty_min[:, None, None] + ky) * tw + (tx_min[:, None, None] + kx)
+    pos = ky * span_x[:, None, None] + kx
+    dest = jnp.where(cand_ok, offsets[:, None, None] + pos, capacity)
+
+    dest_f = dest.reshape(-1)
+    gid = jax.lax.broadcasted_iota(jnp.int32, (N, span, span), 0).reshape(-1)
+    tile_f = tile_id.reshape(-1)
+    depth_f = jnp.broadcast_to(depths[:, None, None], (N, span, span)).reshape(-1)
+
+    # Scatter into the fixed-capacity buffers; OOB destinations (padding and
+    # capacity overflow) are dropped. Destinations are unique by construction
+    # (disjoint per-gaussian offset ranges), so this is race-free.
+    tile_buf = jnp.full((capacity,), n_tiles, dtype=jnp.int32)
+    tile_buf = tile_buf.at[dest_f].set(tile_f, mode="drop")
+    gid_buf = jnp.full((capacity,), -1, dtype=jnp.int32)
+    gid_buf = gid_buf.at[dest_f].set(gid, mode="drop")
+    depth_buf = jnp.full((capacity,), jnp.inf, dtype=depths.dtype)
+    depth_buf = depth_buf.at[dest_f].set(depth_f, mode="drop")
+
+    # One stable lexicographic sort on (tile, depth) — the torch backend's
+    # two-pass argsort (binning.py:223-229) collapsed into a single fused sort.
+    sorted_tile, _, sorted_gid = jax.lax.sort(
+        (tile_buf, depth_buf, gid_buf), num_keys=2, is_stable=True
+    )
+
+    # Per-tile [start, end) ranges via one searchsorted (binning.py:252-256).
+    boundaries = jnp.searchsorted(
+        sorted_tile, jnp.arange(n_tiles + 1, dtype=jnp.int32), side="left"
+    ).astype(jnp.int32)
+    tile_ranges = jnp.stack([boundaries[:-1], boundaries[1:]], axis=-1)
+    tile_ranges = tile_ranges.reshape(th, tw, 2)
+
+    num_isects = boundaries[-1]
+    aux = BinningAux(
+        num_isects=num_isects,
+        capacity_overflow=jnp.maximum(total - capacity, 0).astype(jnp.int32),
+        span_truncated=span_truncated.astype(jnp.int32),
+    )
+    return BinningResult(
+        gaussian_ids=sorted_gid,
+        tile_ids=sorted_tile,
+        tile_ranges=tile_ranges,
+        aux=aux,
+    )

@@ -1,0 +1,108 @@
+"""Real spherical-harmonics color evaluation, degrees 0-3 (pure JAX).
+
+The reference leaves SH evaluation unimplemented — render_gaussians prints
+"WARN: SH evaluation not implemented yet" and truncates features to RGB
+(/root/reference/mojosplat/render.py:82-87). This module closes that gap with
+the standard 3DGS / gsplat real-SH basis so that BASELINE config 4 (1M
+gaussians, 1080p, SH, fwd+bwd) is renderable and trainable.
+
+Convention matches gsplat's ``spherical_harmonics``: coefficients are laid out
+``(N, (degree+1)^2, channels)`` band-major; the caller adds the +0.5 offset and
+clamps at 0 (done by ``sh_to_color``). Fully differentiable w.r.t. both the
+coefficients and (through the view directions) the gaussian means.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+# Band constants (standard real SH, as in 3DGS/gsplat CUDA kernels).
+_C0 = 0.28209479177387814
+_C1 = 0.4886025119029199
+_C2 = (
+    1.0925484305920792,
+    -1.0925484305920792,
+    0.31539156525252005,
+    -1.0925484305920792,
+    0.5462742152960396,
+)
+_C3 = (
+    -0.5900435899266435,
+    2.890611442640554,
+    -0.4570457994644658,
+    0.3731763325901154,
+    -0.4570457994644658,
+    1.445305721320277,
+    -0.5900435899266435,
+)
+
+MAX_SH_DEGREE = 3
+
+
+def num_sh_bases(degree: int) -> int:
+    """(degree+1)^2 coefficients per channel."""
+    return (degree + 1) ** 2
+
+
+def eval_sh(
+    sh_coeffs: jax.Array,  # (N, K, C) with K >= (degree+1)^2
+    dirs: jax.Array,  # (N, 3) view directions (need not be normalized)
+    degree: int,
+) -> jax.Array:
+    """Evaluate SH at unit directions. Returns (N, C) raw band sums."""
+    if not 0 <= degree <= MAX_SH_DEGREE:
+        raise ValueError(f"SH degree must be in [0, {MAX_SH_DEGREE}], got {degree}")
+    needed = num_sh_bases(degree)
+    if sh_coeffs.shape[-2] < needed:
+        raise ValueError(
+            f"degree {degree} needs {needed} SH bases, got {sh_coeffs.shape[-2]}"
+        )
+
+    norm = jnp.linalg.norm(dirs, axis=-1, keepdims=True)
+    d = dirs / jnp.maximum(norm, 1e-12)
+    x, y, z = d[..., 0:1], d[..., 1:2], d[..., 2:3]  # (N, 1) for broadcasting
+
+    result = _C0 * sh_coeffs[..., 0, :]
+    if degree >= 1:
+        result = (
+            result
+            - _C1 * y * sh_coeffs[..., 1, :]
+            + _C1 * z * sh_coeffs[..., 2, :]
+            - _C1 * x * sh_coeffs[..., 3, :]
+        )
+    if degree >= 2:
+        xx, yy, zz = x * x, y * y, z * z
+        xy, yz, xz = x * y, y * z, x * z
+        result = (
+            result
+            + _C2[0] * xy * sh_coeffs[..., 4, :]
+            + _C2[1] * yz * sh_coeffs[..., 5, :]
+            + _C2[2] * (2.0 * zz - xx - yy) * sh_coeffs[..., 6, :]
+            + _C2[3] * xz * sh_coeffs[..., 7, :]
+            + _C2[4] * (xx - yy) * sh_coeffs[..., 8, :]
+        )
+    if degree >= 3:
+        result = (
+            result
+            + _C3[0] * y * (3.0 * xx - yy) * sh_coeffs[..., 9, :]
+            + _C3[1] * xy * z * sh_coeffs[..., 10, :]
+            + _C3[2] * y * (4.0 * zz - xx - yy) * sh_coeffs[..., 11, :]
+            + _C3[3] * z * (2.0 * zz - 3.0 * xx - 3.0 * yy) * sh_coeffs[..., 12, :]
+            + _C3[4] * x * (4.0 * zz - xx - yy) * sh_coeffs[..., 13, :]
+            + _C3[5] * z * (xx - yy) * sh_coeffs[..., 14, :]
+            + _C3[6] * x * (xx - yy) * sh_coeffs[..., 15, :]
+        )
+    return result
+
+
+def sh_to_color(
+    sh_coeffs: jax.Array,  # (N, K, C)
+    means3d: jax.Array,  # (N, 3) world-space gaussian centers
+    cam_position: jax.Array,  # (3,) camera center in world space
+    degree: int,
+) -> jax.Array:
+    """View-dependent RGB from SH: eval at (mean - cam) directions, +0.5
+    offset, clamped at 0 (3DGS rendering convention)."""
+    dirs = means3d - cam_position[None, :]
+    return jnp.maximum(eval_sh(sh_coeffs, dirs, degree) + 0.5, 0.0)

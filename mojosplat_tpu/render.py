@@ -1,0 +1,105 @@
+"""End-to-end render orchestrator: projection -> binning -> SH -> rasterization.
+
+Mirrors render_gaussians (/root/reference/mojosplat/render.py:12-103) minus the
+reference's limitations: this pipeline is jittable end-to-end, differentiable
+(the reference is @torch.no_grad(), render.py:11), evaluates SH colors (the
+reference only warns, render.py:82-87), and never branches on data (the
+reference early-returns a black image on zero intersections, render.py:73-76 —
+here an empty intersection list naturally produces the background image through
+the same traced program).
+
+``features`` is either (N, 3) RGB (sh_degree=None) or (N, K, 3) SH coefficients
+(sh_degree given), matching the reference's dual-use ``features`` argument
+(render.py:17,82-87).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .camera import Camera
+from .config import DEFAULT_CONFIG, RenderConfig
+from .ops.binning import BinningAux, bin_gaussians_to_tiles
+from .ops.projection import project_gaussians
+from .ops.rasterization import RasterAux, rasterize_gaussians
+from .ops.sh import sh_to_color
+
+
+class RenderAux(NamedTuple):
+    """Observability bundle: counters a production renderer must surface
+    (SURVEY.md section 5, metrics/logging row)."""
+
+    binning: BinningAux
+    raster: RasterAux
+
+
+def render_gaussians(
+    means3d: jax.Array,  # (N, 3) world coordinates
+    scales: jax.Array,  # (N, 3) log-space scales
+    quats: jax.Array,  # (N, 4) wxyz quaternions
+    opacities: jax.Array,  # (N,) post-activation opacities
+    features: jax.Array,  # (N, 3) RGB or (N, K, 3) SH coefficients
+    camera: Camera,
+    sh_degree: int | None = None,
+    background_color: jax.Array | None = None,
+    config: RenderConfig = DEFAULT_CONFIG,
+    return_aux: bool = False,
+):
+    """Render 3D gaussians to an (H, W, C) image.
+
+    Same public surface as the reference orchestrator (render.py:12-43); the
+    backend argument is gone (one TPU-native path) and ``config`` replaces the
+    loose tile_size argument with the full numerical contract.
+    """
+    if sh_degree is None:
+        if features.ndim != 2:
+            raise ValueError(
+                f"RGB features must be (N, C), got {features.shape}; pass "
+                "sh_degree for SH coefficients"
+            )
+        colors = features
+    else:
+        if features.ndim != 3:
+            raise ValueError(
+                f"SH features must be (N, K, C), got {features.shape}"
+            )
+        colors = sh_to_color(features, means3d, camera.position, sh_degree)
+
+    num_channels = colors.shape[-1]
+    if background_color is None:
+        background = jnp.zeros((num_channels,), dtype=colors.dtype)
+    else:
+        background = jnp.asarray(background_color, dtype=colors.dtype)
+        if background.shape != (num_channels,):
+            raise ValueError(
+                f"Background color channels {background.shape} must match "
+                f"feature channels ({num_channels},)"
+            )
+
+    if opacities.shape != (means3d.shape[0],):
+        raise ValueError(
+            f"opacities must be (N,) = ({means3d.shape[0]},), got "
+            f"{opacities.shape}"
+        )
+
+    proj = project_gaussians(means3d, scales, quats, opacities, camera, config)
+    binning = bin_gaussians_to_tiles(
+        proj.means2d, proj.radii, proj.depths, camera.H, camera.W, config
+    )
+    image, raster_aux = rasterize_gaussians(
+        proj.means2d,
+        proj.conics,
+        colors,
+        opacities,
+        background,
+        binning,
+        camera.H,
+        camera.W,
+        config,
+    )
+    if return_aux:
+        return image, RenderAux(binning=binning.aux, raster=raster_aux)
+    return image

@@ -91,7 +91,7 @@ def eval_sh(
             + _C3[3] * z * (2.0 * zz - 3.0 * xx - 3.0 * yy) * sh_coeffs[..., 12, :]
             + _C3[4] * x * (4.0 * zz - xx - yy) * sh_coeffs[..., 13, :]
             + _C3[5] * z * (xx - yy) * sh_coeffs[..., 14, :]
-            + _C3[6] * x * (xx - yy) * sh_coeffs[..., 15, :]
+            + _C3[6] * x * (xx - 3.0 * yy) * sh_coeffs[..., 15, :]
         )
     return result
 

@@ -47,12 +47,22 @@ def render_gaussians(
     background_color: jax.Array | None = None,
     config: RenderConfig = DEFAULT_CONFIG,
     return_aux: bool = False,
+    viewport_rows: tuple[jax.Array | int, int] | None = None,
 ):
     """Render 3D gaussians to an (H, W, C) image.
 
     Same public surface as the reference orchestrator (render.py:12-43); the
     backend argument is gone (one TPU-native path) and ``config`` replaces the
     loose tile_size argument with the full numerical contract.
+
+    ``viewport_rows=(row0, height)`` renders only image rows
+    [row0, row0+height) — the tile-row slab primitive used by the sharded
+    renderer (parallel/sharding.py). Projection always uses the *full* camera
+    (so guard-band clamps, culling and conics are bit-identical to a full
+    render); only binning and rasterization are restricted to the slab, by
+    shifting screen-space y. ``row0`` may be a traced value (e.g. derived from
+    ``jax.lax.axis_index`` inside shard_map); ``height`` must be static and a
+    multiple of the tile size.
     """
     if sh_degree is None:
         if features.ndim != 2:
@@ -86,17 +96,35 @@ def render_gaussians(
         )
 
     proj = project_gaussians(means3d, scales, quats, opacities, camera, config)
+
+    if viewport_rows is None:
+        means2d, out_h = proj.means2d, camera.H
+    else:
+        row0, out_h = viewport_rows
+        if out_h % config.tile_size != 0:
+            raise ValueError(
+                f"viewport height {out_h} must be a multiple of tile_size "
+                f"{config.tile_size}"
+            )
+        # Shift screen-space y so the slab starts at row 0; geometry
+        # (conics/radii/depths/culling) is untouched.
+        shift = jnp.stack(
+            [jnp.zeros((), proj.means2d.dtype),
+             jnp.asarray(row0, proj.means2d.dtype)]
+        )
+        means2d = proj.means2d - shift[None, :]
+
     binning = bin_gaussians_to_tiles(
-        proj.means2d, proj.radii, proj.depths, camera.H, camera.W, config
+        means2d, proj.radii, proj.depths, out_h, camera.W, config
     )
     image, raster_aux = rasterize_gaussians(
-        proj.means2d,
+        means2d,
         proj.conics,
         colors,
         opacities,
         background,
         binning,
-        camera.H,
+        out_h,
         camera.W,
         config,
     )

@@ -1,0 +1,168 @@
+"""Trainable gaussian-splatting: parameter pytree, loss, sharded train step.
+
+The reference has no training loop at all (forward-only @torch.no_grad(),
+/root/reference/mojosplat/render.py:11; no optimizer, no checkpointing —
+SURVEY.md section 5). This module provides the training-step capability the
+BASELINE north star requires: differentiable render -> L2 loss -> optax
+updates, single-device or sharded over a ('data', 'tile') mesh with gradients
+psum'd over ICI.
+
+Parameterization (standard 3DGS): raw (pre-activation) opacities stored as
+logits (the demo applies sigmoid, render_sample.py:99); scales stay in log
+space end-to-end; quaternions are normalized inside projection.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, PartitionSpec as P
+
+from .camera import Camera
+from .config import DEFAULT_CONFIG, RenderConfig
+from .ops.sh import num_sh_bases
+from .parallel.sharding import check_slab_divisibility, render_slabs, shard_map
+from .render import render_gaussians
+
+
+class TrainState(NamedTuple):
+    params: dict[str, Any]
+    opt_state: Any
+    step: jax.Array
+
+
+def init_gaussians(
+    key: jax.Array,
+    n: int,
+    sh_degree: int | None = None,
+    position_scale: float = 2.0,
+    log_scale_mean: float = -2.0,
+) -> dict[str, Any]:
+    """Random gaussian cloud, same distribution as the reference demo
+    (/root/reference/render_sample.py:86-109): randn*2 means, log-scales
+    around -2, random unit quats, sigmoid-distributed opacities."""
+    k1, k2, k3, k4, k5 = jax.random.split(key, 5)
+    quats = jax.random.normal(k3, (n, 4))
+    quats /= jnp.linalg.norm(quats, axis=-1, keepdims=True)
+    if sh_degree is None:
+        features = jax.random.uniform(k5, (n, 3))
+    else:
+        K = num_sh_bases(sh_degree)
+        features = jnp.zeros((n, K, 3)).at[:, 0, :].set(
+            jax.random.uniform(k5, (n, 3)) - 0.5
+        )
+    return dict(
+        means3d=jax.random.normal(k1, (n, 3)) * position_scale,
+        scales=log_scale_mean + jax.random.normal(k2, (n, 3)) * 0.3,
+        quats=quats,
+        opacities_raw=jax.random.normal(k4, (n,)) + 1.0,  # logits
+        features=features,
+    )
+
+
+def activate(params: dict[str, Any]) -> dict[str, Any]:
+    """Raw (trainable) params -> render params (sigmoid on opacities)."""
+    out = dict(params)
+    out["opacities"] = jax.nn.sigmoid(out.pop("opacities_raw"))
+    return out
+
+
+def l2_image_loss(rendered: jax.Array, target: jax.Array) -> jax.Array:
+    return jnp.mean((rendered - target) ** 2)
+
+
+def make_optimizer(lr: float = 1e-2) -> optax.GradientTransformation:
+    return optax.adam(lr)
+
+
+def init_train_state(params, optimizer) -> TrainState:
+    return TrainState(
+        params=params,
+        opt_state=optimizer.init(params),
+        step=jnp.zeros((), jnp.int32),
+    )
+
+
+def train_step(
+    state: TrainState,
+    cameras: Camera,  # batched over leading axis B
+    targets: jax.Array,  # (B, H, W, C)
+    optimizer: optax.GradientTransformation,
+    sh_degree: int | None = None,
+    config: RenderConfig = DEFAULT_CONFIG,
+) -> tuple[TrainState, jax.Array]:
+    """Single-device training step over a batch of views."""
+
+    def loss_fn(params):
+        def render_one(cam):
+            p = activate(params)
+            return render_gaussians(
+                p["means3d"], p["scales"], p["quats"], p["opacities"],
+                p["features"], cam, sh_degree=sh_degree, config=config,
+            )
+
+        imgs = jax.vmap(render_one)(cameras)
+        return l2_image_loss(imgs, targets)
+
+    loss, grads = jax.value_and_grad(loss_fn)(state.params)
+    updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
+    params = optax.apply_updates(state.params, updates)
+    return TrainState(params, opt_state, state.step + 1), loss
+
+
+def train_step_sharded(
+    state: TrainState,
+    cameras: Camera,  # batched over leading axis B (sharded over 'data')
+    targets: jax.Array,  # (B, H, W, C) (sharded over 'data' and rows-'tile')
+    optimizer: optax.GradientTransformation,
+    mesh: Mesh,
+    sh_degree: int | None = None,
+    config: RenderConfig = DEFAULT_CONFIG,
+) -> tuple[TrainState, jax.Array]:
+    """Training step sharded over a ('data', 'tile') mesh.
+
+    Each device renders its camera shard's tile-row slab and computes the
+    local loss contribution; per-gaussian parameter gradients are psum'd over
+    both axes (the overlapped grad all-reduce of BASELINE config 5), so every
+    device applies identical optimizer updates to the replicated parameters.
+    """
+    slab_h = check_slab_divisibility(cameras.H, mesh.shape["tile"], config)
+    n_dev = mesh.shape["data"] * mesh.shape["tile"]
+
+    def shard_fn(params, opt_state, step, cams, tgts):
+        def loss_fn(p):
+            imgs = render_slabs(
+                activate(p), cams, slab_h, sh_degree, None, config
+            )
+            # Mean over the *global* batch: local sum / global count.
+            local = jnp.sum((imgs - tgts) ** 2)
+            return local
+
+        local_loss, grads = jax.value_and_grad(loss_fn)(params)
+        # Sum-of-squares and grads reduce over both mesh axes (ICI psum).
+        loss = jax.lax.psum(local_loss, ("data", "tile"))
+        grads = jax.lax.psum(grads, ("data", "tile"))
+        denom = jnp.asarray(
+            tgts.size * n_dev, dtype=local_loss.dtype
+        )  # global element count
+        loss = loss / denom
+        grads = jax.tree_util.tree_map(lambda g: g / denom, grads)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, step + 1, loss
+
+    fn = shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(P(), P(), P(), P("data"), P("data", "tile")),
+        out_specs=(P(), P(), P(), P()),
+        check_vma=False,
+    )
+    params, opt_state, step, loss = fn(
+        state.params, state.opt_state, state.step, cameras, targets
+    )
+    return TrainState(params, opt_state, step), loss

@@ -1,0 +1,162 @@
+"""Multi-device sharding tests on the 8-device virtual CPU mesh
+(SURVEY.md section 4: multi-host logic tested via XLA-faked device counts).
+The reference has nothing to mirror here — no distributed code exists in it
+(SURVEY.md section 2.3)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from mojosplat_tpu import Camera, RenderConfig, render_gaussians
+from mojosplat_tpu.parallel import (
+    make_mesh,
+    project_gaussians_sharded,
+    render_batch_sharded,
+)
+from mojosplat_tpu.ops.projection import project_gaussians
+from mojosplat_tpu import train as mtrain
+
+CFG = RenderConfig(tile_capacity=64, chunk_size=32)
+
+
+def batched_cameras(B, H=64, W=64, fx=80.0, seed=0):
+    rng = np.random.default_rng(seed)
+    Rs, Ts = [], []
+    for _ in range(B):
+        # Small random rotations + translations.
+        a = rng.normal(0, 0.05)
+        R = np.array(
+            [[np.cos(a), 0, np.sin(a)], [0, 1, 0], [-np.sin(a), 0, np.cos(a)]],
+            np.float32,
+        )
+        Rs.append(R)
+        Ts.append(rng.normal(0, 0.05, 3).astype(np.float32))
+    return Camera.create(
+        R=np.stack(Rs),
+        T=np.stack(Ts),
+        H=H,
+        W=W,
+        fx=np.full(B, fx, np.float32),
+        fy=np.full(B, fx, np.float32),
+        cx=np.full(B, W / 2, np.float32),
+        cy=np.full(B, H / 2, np.float32),
+        near=np.full(B, 0.1, np.float32),
+        far=np.full(B, 100.0, np.float32),
+    )
+
+
+def scene_params(n=64, seed=0, sh_degree=None):
+    key = jax.random.PRNGKey(seed)
+    p = mtrain.init_gaussians(key, n, sh_degree=sh_degree, position_scale=0.5)
+    return p
+
+
+def single_camera(cams, i):
+    import dataclasses
+
+    return dataclasses.replace(
+        cams,
+        R=cams.R[i], T=cams.T[i], fx=cams.fx[i], fy=cams.fy[i],
+        cx=cams.cx[i], cy=cams.cy[i], near=cams.near[i], far=cams.far[i],
+    )
+
+
+def test_eight_devices_available():
+    assert len(jax.devices()) == 8
+
+
+def test_sharded_render_matches_single_device():
+    mesh = make_mesh(2, 4)
+    B = 4
+    cams = batched_cameras(B)
+    raw = scene_params(48, seed=1)
+    params = mtrain.activate(raw)
+
+    sharded = render_batch_sharded(params, cams, mesh, config=CFG)
+    sharded = np.asarray(sharded)
+    assert sharded.shape == (B, 64, 64, 3)
+
+    for i in range(B):
+        ref = render_gaussians(
+            params["means3d"], params["scales"], params["quats"],
+            params["opacities"], params["features"], single_camera(cams, i),
+            config=CFG,
+        )
+        np.testing.assert_allclose(sharded[i], np.asarray(ref), atol=1e-5,
+                                   rtol=1e-5)
+
+
+def test_sharded_projection_matches_single_device():
+    mesh = make_mesh(1, 8)
+    cams = batched_cameras(1)
+    cam = single_camera(cams, 0)
+    raw = scene_params(64, seed=2)
+    params = mtrain.activate(raw)
+    a = project_gaussians_sharded(
+        params["means3d"], params["scales"], params["quats"],
+        params["opacities"], cam, mesh, config=CFG,
+    )
+    b = project_gaussians(
+        params["means3d"], params["scales"], params["quats"],
+        params["opacities"], cam, CFG,
+    )
+    for x, y in zip(a, b):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=1e-6)
+
+
+def test_sharded_train_step_matches_single_device():
+    mesh = make_mesh(2, 4)
+    B = 2
+    cams = batched_cameras(B, seed=3)
+    raw = scene_params(32, seed=4)
+    opt = mtrain.make_optimizer(1e-2)
+    state = mtrain.init_train_state(raw, opt)
+    targets = jnp.zeros((B, 64, 64, 3))
+
+    s_single, loss_single = mtrain.train_step(
+        state, cams, targets, opt, config=CFG
+    )
+    s_shard, loss_shard = mtrain.train_step_sharded(
+        state, cams, targets, opt, mesh, config=CFG
+    )
+    np.testing.assert_allclose(
+        float(loss_shard), float(loss_single), rtol=1e-5
+    )
+    for k in s_single.params:
+        np.testing.assert_allclose(
+            np.asarray(s_shard.params[k]), np.asarray(s_single.params[k]),
+            atol=1e-5, rtol=1e-4,
+        )
+
+
+def test_training_reduces_loss():
+    # End-to-end trainability: fit a tiny scene toward a constant image.
+    mesh = make_mesh(2, 4)
+    B = 2
+    cams = batched_cameras(B, seed=5)
+    raw = scene_params(32, seed=6)
+    opt = mtrain.make_optimizer(2e-2)
+    state = mtrain.init_train_state(raw, opt)
+    targets = jnp.full((B, 64, 64, 3), 0.5)
+
+    import functools
+
+    step = jax.jit(
+        functools.partial(
+            mtrain.train_step_sharded, optimizer=opt, mesh=mesh, config=CFG
+        )
+    )
+    losses = []
+    for _ in range(8):
+        state, loss = step(state, cameras=cams, targets=targets)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0] * 0.9, losses
+
+
+def test_indivisible_height_raises():
+    mesh = make_mesh(1, 8)
+    cams = batched_cameras(1, H=64)  # 64 not divisible by 8*16
+    raw = scene_params(16)
+    with pytest.raises(ValueError):
+        render_batch_sharded(mtrain.activate(raw), cams, mesh, config=CFG)

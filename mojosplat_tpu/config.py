@@ -51,7 +51,10 @@ class RenderConfig:
     # Max tiles a single gaussian may claim along each axis; larger footprints
     # are truncated symmetrically around the center tile (overflow is counted
     # and surfaced in aux outputs, never silent — unlike binning.py:202-206).
-    max_tile_span: int = 8
+    # 16 tiles x 16 px = a 256-px box; raise for scenes with huge close-up
+    # gaussians (binning scans one tile-row at a time, so memory cost is
+    # linear, not quadratic, in the span).
+    max_tile_span: int = 16
     # Intersection buffer capacity = isect_padding_multiplier * N (rounded up
     # to a multiple of 1024); entries past capacity are dropped and counted.
     isect_padding_multiplier: int = 4

@@ -126,28 +126,37 @@ def bin_gaussians_to_tiles(
     offsets = jnp.cumsum(counts) - counts  # exclusive prefix sum
     total = jnp.where(N > 0, offsets[-1] + counts[-1], 0).astype(jnp.int32)
 
-    # Candidate (gaussian, local-tile) grid: (N, span, span).
-    ky = jax.lax.broadcasted_iota(jnp.int32, (N, span, span), 1)
-    kx = jax.lax.broadcasted_iota(jnp.int32, (N, span, span), 2)
-    cand_ok = (ky < span_y[:, None, None]) & (kx < span_x[:, None, None])
-    tile_id = (ty_min[:, None, None] + ky) * tw + (tx_min[:, None, None] + kx)
-    pos = ky * span_x[:, None, None] + kx
-    dest = jnp.where(cand_ok, offsets[:, None, None] + pos, capacity)
+    # Scatter the candidate (gaussian, local-tile) grid into the fixed
+    # capacity buffers one tile-row at a time (lax.scan over the span rows),
+    # keeping the working set at N*span elements instead of N*span^2 — this is
+    # what lets max_tile_span grow without blowing HBM at N=1M. OOB
+    # destinations (masked candidates and capacity overflow) are dropped by
+    # the scatter mode. Destinations are unique by construction (disjoint
+    # per-gaussian offset ranges), so the scatter is race-free.
+    kx = jax.lax.broadcasted_iota(jnp.int32, (N, span), 1)
+    gid_row = jax.lax.broadcasted_iota(jnp.int32, (N, span), 0).reshape(-1)
+    depth_row = jnp.broadcast_to(depths[:, None], (N, span)).reshape(-1)
 
-    dest_f = dest.reshape(-1)
-    gid = jax.lax.broadcasted_iota(jnp.int32, (N, span, span), 0).reshape(-1)
-    tile_f = tile_id.reshape(-1)
-    depth_f = jnp.broadcast_to(depths[:, None, None], (N, span, span)).reshape(-1)
+    tile_buf0 = jnp.full((capacity,), n_tiles, dtype=jnp.int32)
+    gid_buf0 = jnp.full((capacity,), -1, dtype=jnp.int32)
+    depth_buf0 = jnp.full((capacity,), jnp.inf, dtype=depths.dtype)
 
-    # Scatter into the fixed-capacity buffers; OOB destinations (padding and
-    # capacity overflow) are dropped. Destinations are unique by construction
-    # (disjoint per-gaussian offset ranges), so this is race-free.
-    tile_buf = jnp.full((capacity,), n_tiles, dtype=jnp.int32)
-    tile_buf = tile_buf.at[dest_f].set(tile_f, mode="drop")
-    gid_buf = jnp.full((capacity,), -1, dtype=jnp.int32)
-    gid_buf = gid_buf.at[dest_f].set(gid, mode="drop")
-    depth_buf = jnp.full((capacity,), jnp.inf, dtype=depths.dtype)
-    depth_buf = depth_buf.at[dest_f].set(depth_f, mode="drop")
+    def scatter_row(bufs, ky):
+        tile_buf, gid_buf, depth_buf = bufs
+        ok = (ky < span_y)[:, None] & (kx < span_x[:, None])
+        tile_id = ((ty_min + ky) * tw + tx_min)[:, None] + kx
+        pos = (ky * span_x + offsets)[:, None] + kx
+        dest = jnp.where(ok, pos, capacity).reshape(-1)
+        tile_buf = tile_buf.at[dest].set(tile_id.reshape(-1), mode="drop")
+        gid_buf = gid_buf.at[dest].set(gid_row, mode="drop")
+        depth_buf = depth_buf.at[dest].set(depth_row, mode="drop")
+        return (tile_buf, gid_buf, depth_buf), None
+
+    (tile_buf, gid_buf, depth_buf), _ = jax.lax.scan(
+        scatter_row,
+        (tile_buf0, gid_buf0, depth_buf0),
+        jnp.arange(span, dtype=jnp.int32),
+    )
 
     # One stable lexicographic sort on (tile, depth) — the torch backend's
     # two-pass argsort (binning.py:223-229) collapsed into a single fused sort.

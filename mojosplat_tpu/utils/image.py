@@ -1,0 +1,19 @@
+"""Image output helpers (reference analogue: the demo's tensor->PIL PNG path,
+/root/reference/render_sample.py:129-136)."""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def to_uint8(image) -> np.ndarray:
+    """(H, W, C) float image in [0, 1] -> uint8, clipped."""
+    arr = np.asarray(image)
+    return (np.clip(arr, 0.0, 1.0) * 255).astype(np.uint8)
+
+
+def save_png(image, path: str) -> None:
+    """Save a float (H, W, C) image to a PNG file."""
+    from PIL import Image
+
+    Image.fromarray(to_uint8(image)).save(path)

@@ -1,0 +1,91 @@
+"""Demo: render a random gaussian cloud to a PNG.
+
+Mirrors the reference demo workload (/root/reference/render_sample.py): 10k
+random gaussians, 1920x1080, seed 42, camera at (0, 1.5, 5) looking at the
+origin (gsplat axis convention), dark-gray background — but runs on any JAX
+backend (the reference exits without CUDA, render_sample.py:44-46).
+
+Usage: python render_sample.py [--gaussians 10000] [--out output/render_example.png]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+
+from mojosplat_tpu import Camera, RenderConfig, look_at, render_gaussians
+from mojosplat_tpu.utils import save_png
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--gaussians", type=int, default=10_000)
+    ap.add_argument("--height", type=int, default=1080)
+    ap.add_argument("--width", type=int, default=1920)
+    ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument("--out", default="output/render_example.png")
+    args = ap.parse_args()
+
+    os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
+
+    # Camera: same pose/intrinsics as the reference demo
+    # (render_sample.py:60-83): eye (0,1.5,5) -> origin, focal 500.
+    R, T = look_at(
+        eye=jnp.array([0.0, 1.5, 5.0]),
+        target=jnp.zeros(3),
+        up=jnp.array([0.0, 1.0, 0.0]),
+    )
+    camera = Camera.create(
+        R=R, T=T, H=args.height, W=args.width,
+        fx=500.0, fy=500.0, cx=args.width / 2, cy=args.height / 2,
+        near=0.1, far=100.0,
+    )
+
+    # Random scene, same distributions as the reference (render_sample.py:86-109).
+    key = jax.random.PRNGKey(args.seed)
+    k1, k2, k3, k4, k5 = jax.random.split(key, 5)
+    n = args.gaussians
+    print(f"Generating {n} random gaussians...")
+    means3d = jax.random.normal(k1, (n, 3)) * 2.0
+    log_scales = -2.0 + jax.random.normal(k2, (n, 3)) * 0.3
+    quats = jax.random.normal(k3, (n, 4))
+    quats /= jnp.linalg.norm(quats, axis=-1, keepdims=True)
+    opacities = jax.nn.sigmoid(jax.random.normal(k4, (n,)) + 1.0)
+    colors = jax.random.uniform(k5, (n, 3))
+
+    # The random demo scene has near-camera gaussians spanning hundreds of
+    # pixels; give them a generous tile-span budget (cheap at 10k gaussians —
+    # binning memory is linear in the span). Production scenes use the default.
+    config = RenderConfig(tile_batch=512, max_tile_span=64, tile_capacity=1024)
+    render = jax.jit(
+        lambda m, s, q, o, c: render_gaussians(
+            m, s, q, o, c, camera,
+            background_color=jnp.array([0.1, 0.1, 0.1]),
+            config=config,
+        )
+    )
+
+    print("Rendering (compiling on first call)...")
+    t0 = time.perf_counter()
+    image = render(means3d, log_scales, quats, opacities, colors)
+    image.block_until_ready()
+    print(f"First render (incl. compile): {time.perf_counter() - t0:.2f}s")
+    t0 = time.perf_counter()
+    image = render(means3d, log_scales, quats, opacities, colors)
+    image.block_until_ready()
+    print(f"Steady-state render: {time.perf_counter() - t0:.3f}s")
+    print(f"Rendered image shape: {image.shape}")
+    print(f"Rendered image range: [{float(image.min()):.4f}, "
+          f"{float(image.max()):.4f}]")
+
+    print(f"Saving image to {args.out}...")
+    save_png(image, args.out)
+    print("Done.")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,70 @@
+"""Utility subsystem tests: image IO, metrics, checkpointing."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mojosplat_tpu import train as mtrain
+from mojosplat_tpu.utils import StageTimer, compilation_count, to_uint8
+from mojosplat_tpu.utils.checkpoint import restore_checkpoint, save_checkpoint
+from mojosplat_tpu.utils.metrics import log_render_aux
+
+
+def test_to_uint8_clips():
+    img = np.array([[[-0.5, 0.5, 1.5]]])
+    out = to_uint8(img)
+    assert out.dtype == np.uint8
+    assert list(out[0, 0]) == [0, 127, 255]
+
+
+def test_stage_timer():
+    t = StageTimer()
+    x = jnp.ones((8, 8))
+    for _ in range(3):
+        t.time_fn("double", lambda a: a * 2, x)
+    s = t.summary()
+    assert s["double"]["count"] == 3
+    assert s["double"]["mean_ms"] >= 0
+
+
+def test_compilation_count():
+    f = jax.jit(lambda x: x + 1)
+    f(jnp.ones(4))
+    assert compilation_count(f) == 1
+    f(jnp.ones(4) * 2)  # same shape: no recompile
+    assert compilation_count(f) == 1
+    f(jnp.ones(8))  # new shape: recompile
+    assert compilation_count(f) == 2
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    params = mtrain.init_gaussians(jax.random.PRNGKey(0), 16, sh_degree=1)
+    path = os.path.join(tmp_path, "ckpt")
+    save_checkpoint(path, params)
+    restored = restore_checkpoint(path)
+    for k in params:
+        np.testing.assert_array_equal(
+            np.asarray(params[k]), np.asarray(restored[k])
+        )
+
+
+def test_log_render_aux():
+    from mojosplat_tpu.ops.binning import BinningAux
+    from mojosplat_tpu.ops.rasterization import RasterAux
+    from mojosplat_tpu.render import RenderAux
+
+    aux = RenderAux(
+        binning=BinningAux(
+            num_isects=jnp.int32(10),
+            capacity_overflow=jnp.int32(0),
+            span_truncated=jnp.int32(2),
+        ),
+        raster=RasterAux(
+            final_transmittance=jnp.ones((4, 4)), tile_overflow=jnp.int32(0)
+        ),
+    )
+    rec = log_render_aux(aux, step=3)
+    assert rec["num_isects"] == 10
+    assert rec["step"] == 3

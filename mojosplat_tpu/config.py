@@ -51,10 +51,11 @@ class RenderConfig:
     # Max tiles a single gaussian may claim along each axis; larger footprints
     # are truncated symmetrically around the center tile (overflow is counted
     # and surfaced in aux outputs, never silent — unlike binning.py:202-206).
-    # 16 tiles x 16 px = a 256-px box; raise for scenes with huge close-up
-    # gaussians (binning scans one tile-row at a time, so memory cost is
-    # linear, not quadratic, in the span).
-    max_tile_span: int = 16
+    # 32 tiles x 16 px = a 512-px box; raise for scenes with huge close-up
+    # gaussians. Since binning expands intersections by prefix sums, compute
+    # cost is independent of this budget — it only bounds how much of the
+    # intersection capacity one pathological gaussian can claim.
+    max_tile_span: int = 32
     # Intersection buffer capacity = isect_padding_multiplier * N (rounded up
     # to a multiple of 1024); entries past capacity are dropped and counted.
     isect_padding_multiplier: int = 4

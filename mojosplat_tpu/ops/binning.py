@@ -126,37 +126,37 @@ def bin_gaussians_to_tiles(
     offsets = jnp.cumsum(counts) - counts  # exclusive prefix sum
     total = jnp.where(N > 0, offsets[-1] + counts[-1], 0).astype(jnp.int32)
 
-    # Scatter the candidate (gaussian, local-tile) grid into the fixed
-    # capacity buffers one tile-row at a time (lax.scan over the span rows),
-    # keeping the working set at N*span elements instead of N*span^2 — this is
-    # what lets max_tile_span grow without blowing HBM at N=1M. OOB
-    # destinations (masked candidates and capacity overflow) are dropped by
-    # the scatter mode. Destinations are unique by construction (disjoint
-    # per-gaussian offset ranges), so the scatter is race-free.
-    kx = jax.lax.broadcasted_iota(jnp.int32, (N, span), 1)
-    gid_row = jax.lax.broadcasted_iota(jnp.int32, (N, span), 0).reshape(-1)
-    depth_row = jnp.broadcast_to(depths[:, None], (N, span)).reshape(-1)
+    # Segmented expansion by prefix sums — the TPU-native replacement for the
+    # reference's per-gaussian emission loop (binning.py:170-209). Each
+    # gaussian owns the slot range [offsets[i], offsets[i]+counts[i]); instead
+    # of scattering every candidate (tile, gaussian) pair (cost ~ N*span^2
+    # scatter updates — measured 15-90x slower than the real intersection
+    # count), we scatter-add ONE segment head per gaussian (N updates) and
+    # recover the owner of every slot with a cumulative sum:
+    #   head[offsets[i]] += 1  =>  gid[j] = cumsum(head)[j] - 1
+    # Zero-count gaussians share their offset with the next gaussian; the adds
+    # accumulate there and the cumsum resolves each slot to the LAST gaussian
+    # starting at-or-before it, which is the unique non-empty owner. The local
+    # tile of slot j then comes from a few (capacity,)-sized gathers. Total
+    # cost is O(N + capacity), independent of max_tile_span.
+    head = jnp.zeros((capacity,), jnp.int32)
+    head = head.at[offsets].add(1, mode="drop")
+    gid_buf = jnp.cumsum(head) - 1  # (capacity,) owner gaussian per slot
 
-    tile_buf0 = jnp.full((capacity,), n_tiles, dtype=jnp.int32)
-    gid_buf0 = jnp.full((capacity,), -1, dtype=jnp.int32)
-    depth_buf0 = jnp.full((capacity,), jnp.inf, dtype=depths.dtype)
-
-    def scatter_row(bufs, ky):
-        tile_buf, gid_buf, depth_buf = bufs
-        ok = (ky < span_y)[:, None] & (kx < span_x[:, None])
-        tile_id = ((ty_min + ky) * tw + tx_min)[:, None] + kx
-        pos = (ky * span_x + offsets)[:, None] + kx
-        dest = jnp.where(ok, pos, capacity).reshape(-1)
-        tile_buf = tile_buf.at[dest].set(tile_id.reshape(-1), mode="drop")
-        gid_buf = gid_buf.at[dest].set(gid_row, mode="drop")
-        depth_buf = depth_buf.at[dest].set(depth_row, mode="drop")
-        return (tile_buf, gid_buf, depth_buf), None
-
-    (tile_buf, gid_buf, depth_buf), _ = jax.lax.scan(
-        scatter_row,
-        (tile_buf0, gid_buf0, depth_buf0),
-        jnp.arange(span, dtype=jnp.int32),
+    slot = jnp.arange(capacity, dtype=jnp.int32)
+    in_range = (slot < total) & (gid_buf >= 0)
+    safe_gid = jnp.clip(gid_buf, 0, N - 1)
+    k = slot - offsets[safe_gid]
+    sx = jnp.maximum(span_x[safe_gid], 1)
+    ky = k // sx
+    kx = k - ky * sx
+    tile_buf = jnp.where(
+        in_range,
+        (ty_min[safe_gid] + ky) * tw + (tx_min[safe_gid] + kx),
+        n_tiles,
     )
+    gid_buf = jnp.where(in_range, safe_gid, -1)
+    depth_buf = jnp.where(in_range, depths[safe_gid], jnp.inf)
 
     # One stable lexicographic sort on (tile, depth) — the torch backend's
     # two-pass argsort (binning.py:223-229) collapsed into a single fused sort.

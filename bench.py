@@ -29,6 +29,9 @@ from mojosplat_tpu import train as mtrain
 
 
 def build_step(n, H, W, sh_degree, config, mode):
+    # The camera is a jit *argument*, never a closure constant: executables
+    # that capture pre-existing device buffers as constants fall off this
+    # backend's fast dispatch path (~30 ms/call re-staging penalty).
     camera = Camera.create(
         R=jnp.eye(3), T=jnp.zeros(3), H=H, W=W,
         fx=0.5 * W, fy=0.5 * W, cx=W / 2, cy=H / 2,
@@ -37,25 +40,24 @@ def build_step(n, H, W, sh_degree, config, mode):
         jax.random.PRNGKey(0), n, sh_degree=sh_degree, position_scale=2.0
     )
     params = mtrain.activate(raw)
-    bg = jnp.array([0.1, 0.1, 0.1])
 
-    def forward(p):
+    def forward(p, cam):
         return render_gaussians(
             p["means3d"], p["scales"], p["quats"], p["opacities"],
-            p["features"], camera, sh_degree=sh_degree,
-            background_color=bg, config=config,
+            p["features"], cam, sh_degree=sh_degree,
+            background_color=jnp.array([0.1, 0.1, 0.1]), config=config,
         )
 
     if mode == "fwd":
         fn = jax.jit(forward)
-        return fn, params
+        return lambda p: fn(p, camera), params
 
-    def loss(p):
-        img = forward(p)
+    def loss(p, cam):
+        img = forward(p, cam)
         return jnp.mean(img**2)
 
     fn = jax.jit(jax.grad(loss))
-    return fn, params
+    return lambda p: fn(p, camera), params
 
 
 def previous_round_value(metric: str) -> float | None:

@@ -73,6 +73,16 @@ class RenderConfig:
     # residual memory — required for 1080p fwd+bwd to fit in HBM.
     remat: bool = True
 
+    # --- rasterizer implementation selection ---
+    # "xla": the pure-XLA scan/vmap path (runs everywhere; the oracle).
+    # "pallas": hand-written Pallas TPU kernels (ops/raster_pallas.py) with
+    #   per-tile dynamic trip counts and chunk-level early termination.
+    raster_impl: str = "xla"
+    # Gaussians per Pallas chunk (the lane dimension of the blend).
+    pallas_chunk: int = 128
+    # Run Pallas kernels in interpreter mode (CPU testing only).
+    pallas_interpret: bool = False
+
     def __post_init__(self):
         if self.tile_size <= 0:
             raise ValueError(f"tile_size must be positive, got {self.tile_size}")

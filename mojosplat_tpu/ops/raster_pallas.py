@@ -1,0 +1,428 @@
+"""Pallas TPU rasterization kernels: tiled forward + hand-written backward.
+
+This is the TPU-native equivalent of the reference's native rasterizer
+(/root/reference/mojosplat/kernels/rasterization.mojo:16-162). The reference
+maps one CUDA thread to one pixel and stages gaussians in shared memory
+between barriers; here one *grid step* owns one 16x16 tile, the tile's pixel
+block lives in vector registers (pixels on sublanes, gaussians on lanes), and
+Pallas double-buffers each tile's gaussian table slice HBM->VMEM while the
+previous tile computes.
+
+Two things the pure-XLA path (rasterization.py) cannot do, this kernel does:
+
+  1. **Per-tile dynamic work.** The XLA scan must run ``tile_capacity/chunk``
+     blend steps for every tile; here each chunk is guarded by the tile's
+     real intersection count (scalar-prefetched), so sparse tiles cost
+     O(their gaussians), not O(capacity).
+  2. **Chunk-level early termination.** The sequential break at transmittance
+     <= 1e-4 (rasterization.mojo:147-149) becomes an ``alive`` predicate that
+     skips all remaining chunks once every pixel in the tile is saturated.
+
+The chunk loop is unrolled in Python (tile_capacity / pallas_chunk is a small
+static count), so every lane slice is static — Mosaic cannot prove dynamic
+lane offsets aligned — and the skip is a real branch (lax.cond), not masking.
+
+The backward pass is a second kernel (the capability the reference lacks
+entirely; its kernel drops the per-pixel transmittance needed for it,
+rasterization.py:124). It re-walks the tile forward keeping per-chunk
+incoming transmittance in registers, then walks chunks in reverse carrying
+the transmittance cotangent, producing per-slot gradients that XLA
+scatter-adds back to per-gaussian arrays deterministically (no atomics —
+SURVEY.md section 5, race-detection row).
+
+Both kernels share the blending math of the XLA path (_blend_chunk /
+_pixel_alphas in rasterization.py), so the XLA path doubles as the oracle in
+tests (interpret mode on CPU, element-wise comparisons on TPU).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..config import RenderConfig
+
+# gdata row layout (gaussians on lanes): x, y, conic_a, conic_b, conic_c, opac
+_GROWS = 6
+# colors are stored (slot, 4): rgb + zero pad so the blend matmul has an
+# even N dim and the final T can share the output buffer's 4th column.
+_CCOLS = 4
+
+
+def _roll_r(x, s):
+    """Shift lanes right by s (toward higher index); wrapped lanes are junk
+    and must be masked by the caller."""
+    return pltpu.roll(x, s, axis=1)
+
+
+def _roll_l(x, s, K):
+    """Shift lanes left by s via a circular right-roll of K - s."""
+    return pltpu.roll(x, K - s, axis=1)
+
+
+def _lane_cumprod(x, col, K):
+    """Inclusive cumulative product along lanes (Hillis-Steele, log2 K steps).
+
+    ``col`` is a broadcasted lane-index iota of x.shape.
+    """
+    s = 1
+    while s < K:
+        x = x * jnp.where(col >= s, _roll_r(x, s), 1.0)
+        s *= 2
+    return x
+
+
+def _lane_excl(x_incl, col, one):
+    """Exclusive variant from an inclusive lane scan: shift right 1, fill."""
+    return jnp.where(col >= 1, _roll_r(x_incl, 1), one)
+
+
+def _lane_rev_cumsum_excl(q, col, K):
+    """S_j = sum_{i > j} q_i along lanes (exclusive reverse cumsum)."""
+    x = jnp.where(col < K - 1, _roll_l(q, 1, K), 0.0)
+    s = 1
+    while s < K:
+        x = x + jnp.where(col < K - s, _roll_l(x, s, K), 0.0)
+        s *= 2
+    return x
+
+
+def _tile_pixel_centers(t, ts, tw, P):
+    """Pixel centers of tile t at +0.5 (rasterization.mojo:78-79), pixels on
+    sublanes: p = row * ts + col within the tile. Returns ((P,1), (P,1))."""
+    pidx = jax.lax.broadcasted_iota(jnp.int32, (P, 1), 0)
+    tile_y = t // tw
+    tile_x = t - tile_y * tw
+    px = (tile_x * ts + pidx % ts).astype(jnp.float32) + 0.5
+    py = (tile_y * ts + pidx // ts).astype(jnp.float32) + 0.5
+    return px, py
+
+
+def _chunk_geometry(gdata_ref, k, K, px, py, count, config):
+    """Shared fwd/bwd per-chunk math up to the (P, K) alpha matrix.
+
+    ``k`` is a static Python int (unrolled loop). Matches _pixel_alphas
+    (rasterization.py:103-114).
+    """
+    sl = slice(k * K, (k + 1) * K)
+    xg = gdata_ref[0, 0:1, sl]  # (1, K)
+    yg = gdata_ref[0, 1:2, sl]
+    ca = gdata_ref[0, 2:3, sl]
+    cb = gdata_ref[0, 3:4, sl]
+    cc = gdata_ref[0, 4:5, sl]
+    op = gdata_ref[0, 5:6, sl]
+
+    dx = xg - px  # (P, K)
+    dy = yg - py
+    sigma = 0.5 * (ca * dx * dx + cc * dy * dy) + cb * dx * dy
+    e = jnp.exp(-sigma)
+    raw = op * e
+    alpha = jnp.minimum(raw, config.max_alpha)
+    col = jax.lax.broadcasted_iota(jnp.int32, alpha.shape, 1)
+    keep = (
+        (sigma >= 0.0)
+        & (alpha >= config.alpha_threshold)
+        & (col + k * K < count)
+    )
+    alpha = jnp.where(keep, alpha, 0.0)
+    return alpha, keep, raw, e, dx, dy, ca, cb, cc, op, col
+
+
+def _fwd_kernel(counts_ref, gdata_ref, colors_ref, out_ref,
+                t_s, done_s, acc_s, *, K, P, ts, tw, config):
+    # All loop state lives in VMEM scratch and chunk updates are predicated
+    # (pl.when): branch carries of (P, 1) vectors blow up Mosaic's scf.if
+    # into dozens of vreg yields per chunk and crash the compiler.
+    t = pl.program_id(0)
+    count = counts_ref[t]
+    eps = config.transmittance_eps
+    cap = gdata_ref.shape[2]
+    px, py = _tile_pixel_centers(t, ts, tw, P)
+
+    t_s[...] = jnp.ones((P, 1), jnp.float32)
+    done_s[...] = jnp.zeros((P, 1), jnp.float32)
+    acc_s[...] = jnp.zeros((P, _CCOLS), jnp.float32)
+
+    for k in range(cap // K):  # static unroll; every lane slice is static
+        guard = (k * K < count) & (jnp.min(done_s[...]) == 0.0)
+
+        @pl.when(guard)
+        def _(k=k):
+            t_in = t_s[...]
+            done = done_s[...]
+            alpha, *_rest = _chunk_geometry(
+                gdata_ref, k, K, px, py, count, config
+            )
+            col = jax.lax.broadcasted_iota(jnp.int32, alpha.shape, 1)
+            cum = _lane_cumprod(1.0 - alpha, col, K)
+            t_after = t_in * cum
+            applied = (t_after > eps) & (done == 0.0)
+            eff = jnp.where(applied, alpha, 0.0)
+            cume = _lane_cumprod(1.0 - eff, col, K)
+            excl = _lane_excl(cume, col, 1.0)
+            w = eff * t_in * excl  # (P, K)
+
+            cols = colors_ref[0, k * K : (k + 1) * K, :]  # (K, 4)
+            acc_s[...] = acc_s[...] + jnp.dot(
+                w, cols, preferred_element_type=jnp.float32
+            )
+            t_s[...] = t_in * cume[:, K - 1 : K]
+            done_s[...] = jnp.maximum(
+                done, (t_after[:, K - 1 : K] <= eps).astype(jnp.float32)
+            )
+
+    out_ref[0, :, :] = jnp.concatenate([acc_s[:, :3], t_s[...]], axis=1)
+
+
+def _bwd_kernel(counts_ref, gdata_ref, colors_ref, gout_ref,
+                dgdata_ref, dcolors_ref,
+                t_s, done_s, gt_s, *hist_s, K, P, ts, tw, config):
+    # Loop state in VMEM scratch + pl.when, same rationale as _fwd_kernel.
+    # hist_s holds 2 scratch refs per chunk: incoming T and incoming done.
+    t = pl.program_id(0)
+    count = counts_ref[t]
+    eps = config.transmittance_eps
+    cap = gdata_ref.shape[2]
+    nchunks_max = cap // K
+    px, py = _tile_pixel_centers(t, ts, tw, P)
+
+    dgdata_ref[...] = jnp.zeros_like(dgdata_ref)
+    dcolors_ref[...] = jnp.zeros_like(dcolors_ref)
+
+    def chunk_guard(k, done):
+        return (k * K < count) & (jnp.min(done) == 0.0)
+
+    # ---- Phase 1: re-walk forward, recording per-chunk incoming state in
+    # VMEM scratch (the residuals the reference's kernel never saves).
+    t_s[...] = jnp.ones((P, 1), jnp.float32)
+    done_s[...] = jnp.zeros((P, 1), jnp.float32)
+    for k in range(nchunks_max):
+        hist_s[2 * k][...] = t_s[...]
+        hist_s[2 * k + 1][...] = done_s[...]
+
+        @pl.when(chunk_guard(k, done_s[...]))
+        def _(k=k):
+            t_in = t_s[...]
+            done = done_s[...]
+            alpha, *_rest = _chunk_geometry(
+                gdata_ref, k, K, px, py, count, config
+            )
+            col = jax.lax.broadcasted_iota(jnp.int32, alpha.shape, 1)
+            cum = _lane_cumprod(1.0 - alpha, col, K)
+            t_after = t_in * cum
+            applied = (t_after > eps) & (done == 0.0)
+            eff = jnp.where(applied, alpha, 0.0)
+            cume = _lane_cumprod(1.0 - eff, col, K)
+            t_s[...] = t_in * cume[:, K - 1 : K]
+            done_s[...] = jnp.maximum(
+                done, (t_after[:, K - 1 : K] <= eps).astype(jnp.float32)
+            )
+
+    # ---- Phase 2: reverse chunk walk carrying the transmittance cotangent.
+    gout = gout_ref[0, :, :]  # (P, 4): cols 0..2 dL/drgb, col 3 dL/dT_final
+    v = jnp.concatenate(
+        [gout[:, :3], jnp.zeros((P, 1), jnp.float32)], axis=1
+    )  # color cotangent with the T column zeroed
+    gt_s[...] = gout[:, 3:4]
+
+    for k in reversed(range(nchunks_max)):
+
+        @pl.when(chunk_guard(k, hist_s[2 * k + 1][...]))
+        def _(k=k):
+            t_in = hist_s[2 * k][...]
+            done = hist_s[2 * k + 1][...]
+            gt = gt_s[...]
+            alpha, keep, raw, e, dx, dy, ca, cb, cc, op, col = (
+                _chunk_geometry(gdata_ref, k, K, px, py, count, config)
+            )
+            cum = _lane_cumprod(1.0 - alpha, col, K)
+            t_after = t_in * cum
+            applied = (t_after > eps) & (done == 0.0)
+            eff = jnp.where(applied, alpha, 0.0)
+            ome = 1.0 - eff
+            cume = _lane_cumprod(ome, col, K)
+            excl = _lane_excl(cume, col, 1.0)
+            t_before = t_in * excl  # (P, K)
+            w = eff * t_before
+            t_out = t_in * cume[:, K - 1 : K]
+
+            sl = slice(k * K, (k + 1) * K)
+            cols = colors_ref[0, sl, :]  # (K, 4)
+            # cv[p, j] = sum_c v[p, c] * cols[j, c]
+            cv = jax.lax.dot_general(
+                v, cols, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (P, K)
+
+            # d colors_j = sum_p w[p, j] * v[p, :]  (contraction over pixels)
+            d_cols = jax.lax.dot_general(
+                w, v, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (K, 4)
+            dcolors_ref[0, sl, :] = d_cols
+
+            q = w * cv  # (P, K)
+            S = _lane_rev_cumsum_excl(q, col, K)
+            d_eff = cv * t_before - (S + gt * t_out) / ome
+            d_alpha = jnp.where(applied, d_eff, 0.0)
+            d_raw = jnp.where(keep & (raw < config.max_alpha), d_alpha, 0.0)
+
+            d_op = d_raw * e
+            d_sigma = -d_raw * raw
+            d_ca = 0.5 * dx * dx * d_sigma
+            d_cc = 0.5 * dy * dy * d_sigma
+            d_cb = dx * dy * d_sigma
+            d_dx = (ca * dx + cb * dy) * d_sigma
+            d_dy = (cc * dy + cb * dx) * d_sigma
+
+            # Reduce over pixels (sublanes) -> per-gaussian rows (1, K).
+            dgdata_ref[0, 0:1, sl] = jnp.sum(d_dx, axis=0, keepdims=True)
+            dgdata_ref[0, 1:2, sl] = jnp.sum(d_dy, axis=0, keepdims=True)
+            dgdata_ref[0, 2:3, sl] = jnp.sum(d_ca, axis=0, keepdims=True)
+            dgdata_ref[0, 3:4, sl] = jnp.sum(d_cb, axis=0, keepdims=True)
+            dgdata_ref[0, 4:5, sl] = jnp.sum(d_cc, axis=0, keepdims=True)
+            dgdata_ref[0, 5:6, sl] = jnp.sum(d_op, axis=0, keepdims=True)
+
+            # dL/dT_in = sum_j eff_j excl_j cv_j + gT_out * prod(1 - eff).
+            gt_s[...] = (
+                jnp.sum(eff * excl * cv, axis=1, keepdims=True)
+                + gt * cume[:, K - 1 : K]
+            )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def raster_tiles_pallas(gdata, colors_t, counts, ts, tw, config):
+    """Blend each tile's gathered gaussians front-to-back.
+
+    Args:
+        gdata: (n_tiles, 6, cap) f32 rows [x, y, conic_a, conic_b, conic_c,
+            opacity]; invalid slots must carry opacity 0.
+        colors_t: (n_tiles, cap, 4) f32, column 3 zero.
+        counts: (n_tiles,) int32 real intersections per tile (<= cap).
+        ts: tile size (static).
+        tw: tile-grid width (static), for pixel-coordinate reconstruction.
+        config: RenderConfig (static).
+
+    Returns:
+        (n_tiles, ts*ts, 4) f32: columns 0..2 premultiplied RGB, column 3 the
+        final per-pixel transmittance (the value the reference discards,
+        rasterization.py:124).
+    """
+    return _raster_fwd_call(gdata, colors_t, counts, ts, tw, config)
+
+
+def _raster_fwd_call(gdata, colors_t, counts, ts, tw, config):
+    n_tiles, _, cap = gdata.shape
+    P = ts * ts
+    K = config.pallas_chunk
+    if cap % K != 0:
+        raise ValueError(f"tile_capacity {cap} % pallas_chunk {K} != 0")
+
+    kernel = functools.partial(
+        _fwd_kernel, K=K, P=P, ts=ts, tw=tw, config=config
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((1, _GROWS, cap), lambda t, c: (t, 0, 0)),
+            pl.BlockSpec((1, cap, _CCOLS), lambda t, c: (t, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, P, _CCOLS), lambda t, c: (t, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((P, 1), jnp.float32),  # t_s
+            pltpu.VMEM((P, 1), jnp.float32),  # done_s
+            pltpu.VMEM((P, _CCOLS), jnp.float32),  # acc_s
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_tiles, P, _CCOLS), jnp.float32),
+        interpret=config.pallas_interpret,
+    )(counts, gdata, colors_t)
+
+
+def _raster_fwd_rule(gdata, colors_t, counts, ts, tw, config):
+    out = _raster_fwd_call(gdata, colors_t, counts, ts, tw, config)
+    return out, (gdata, colors_t, counts)
+
+
+def _raster_bwd_rule(ts, tw, config, residuals, gout):
+    gdata, colors_t, counts = residuals
+    n_tiles, _, cap = gdata.shape
+    P = ts * ts
+    K = config.pallas_chunk
+
+    kernel = functools.partial(
+        _bwd_kernel, K=K, P=P, ts=ts, tw=tw, config=config
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((1, _GROWS, cap), lambda t, c: (t, 0, 0)),
+            pl.BlockSpec((1, cap, _CCOLS), lambda t, c: (t, 0, 0)),
+            pl.BlockSpec((1, P, _CCOLS), lambda t, c: (t, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, _GROWS, cap), lambda t, c: (t, 0, 0)),
+            pl.BlockSpec((1, cap, _CCOLS), lambda t, c: (t, 0, 0)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((P, 1), jnp.float32),  # t_s
+            pltpu.VMEM((P, 1), jnp.float32),  # done_s
+            pltpu.VMEM((P, 1), jnp.float32),  # gt_s
+        ]
+        + [
+            pltpu.VMEM((P, 1), jnp.float32)  # hist_s: (T_in, done_in)/chunk
+            for _ in range(2 * (cap // K))
+        ],
+    )
+    d_gdata, d_colors = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((n_tiles, _GROWS, cap), jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles, cap, _CCOLS), jnp.float32),
+        ],
+        interpret=config.pallas_interpret,
+    )(counts, gdata, colors_t, gout)
+    d_counts = np.zeros(counts.shape, dtype=jax.dtypes.float0)
+    return d_gdata, d_colors, d_counts
+
+
+raster_tiles_pallas.defvjp(_raster_fwd_rule, _raster_bwd_rule)
+
+
+def gather_tile_data(means2d, conics, colors, opacities, table):
+    """XLA gather of per-slot gaussian data for the kernels.
+
+    The autodiff of this gather is the deterministic scatter-add that routes
+    per-slot gradients back to per-gaussian arrays (no atomics).
+    """
+    N = means2d.shape[0]
+    safe = jnp.clip(table, 0, N - 1)
+    valid = table >= 0
+    op_eff = jnp.where(valid, opacities[safe], 0.0)
+    gdata = jnp.stack(
+        [
+            means2d[..., 0][safe],
+            means2d[..., 1][safe],
+            conics[..., 0][safe],
+            conics[..., 1][safe],
+            conics[..., 2][safe],
+            op_eff,
+        ],
+        axis=1,
+    ).astype(jnp.float32)  # (n_tiles, 6, cap)
+    C = colors.shape[-1]
+    colors4 = jnp.pad(colors.astype(jnp.float32), ((0, 0), (0, _CCOLS - C)))
+    colors_t = colors4[safe]  # (n_tiles, cap, 4)
+    colors_t = jnp.where(valid[..., None], colors_t, 0.0)
+    return gdata, colors_t

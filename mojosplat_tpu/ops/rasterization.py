@@ -167,6 +167,37 @@ def rasterize_gaussians(
 
     table, tile_overflow = build_tile_table(binning, config.tile_capacity)
     table = jax.lax.stop_gradient(table)
+
+    if config.raster_impl == "pallas":
+        from .raster_pallas import gather_tile_data, raster_tiles_pallas
+
+        gdata, colors_t = gather_tile_data(
+            means2d, conics, colors, opacities, table
+        )
+        ranges_flat = binning.tile_ranges.reshape(n_tiles, 2)
+        counts = jnp.clip(
+            ranges_flat[:, 1] - ranges_flat[:, 0], 0, config.tile_capacity
+        ).astype(jnp.int32)
+        out = raster_tiles_pallas(gdata, colors_t, counts, ts, tw, config)
+        T_tiles = out[:, :, 3]
+        out_tiles = (
+            out[:, :, :C] + T_tiles[:, :, None] * background[None, None, :]
+        ).astype(dtype)
+
+        def assemble_p(x, channels):
+            img = x.reshape(th, tw, ts, ts, channels)
+            img = img.transpose(0, 2, 1, 3, 4)
+            return img.reshape(th * ts, tw * ts, channels)[
+                :img_height, :img_width
+            ]
+
+        image = assemble_p(out_tiles, C)
+        final_T = assemble_p(T_tiles[..., None], 1)[..., 0]
+        return image, RasterAux(
+            final_transmittance=final_T, tile_overflow=tile_overflow
+        )
+    if config.raster_impl != "xla":
+        raise ValueError(f"Unknown raster_impl: {config.raster_impl!r}")
     num_chunks = config.tile_capacity // K
     table_c = table.reshape(n_tiles, num_chunks, K)
 

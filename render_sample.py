@@ -28,6 +28,10 @@ def main():
     ap.add_argument("--width", type=int, default=1920)
     ap.add_argument("--seed", type=int, default=42)
     ap.add_argument("--out", default="output/render_example.png")
+    ap.add_argument(
+        "--impl", default="xla", choices=["xla", "pallas"],
+        help="rasterizer implementation (pallas = TPU kernels)",
+    )
     args = ap.parse_args()
 
     os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
@@ -60,10 +64,15 @@ def main():
     # The random demo scene has near-camera gaussians spanning hundreds of
     # pixels; give them a generous tile-span budget (cheap at 10k gaussians —
     # binning memory is linear in the span). Production scenes use the default.
-    config = RenderConfig(tile_batch=512, max_tile_span=64, tile_capacity=1024)
+    config = RenderConfig(
+        tile_batch=512, max_tile_span=64, tile_capacity=1024,
+        raster_impl=args.impl,
+    )
+    # The camera is a jit argument, not a closure constant (closure-captured
+    # device buffers disable this machine's fast dispatch path).
     render = jax.jit(
-        lambda m, s, q, o, c: render_gaussians(
-            m, s, q, o, c, camera,
+        lambda m, s, q, o, c, cam: render_gaussians(
+            m, s, q, o, c, cam,
             background_color=jnp.array([0.1, 0.1, 0.1]),
             config=config,
         )
@@ -71,11 +80,11 @@ def main():
 
     print("Rendering (compiling on first call)...")
     t0 = time.perf_counter()
-    image = render(means3d, log_scales, quats, opacities, colors)
+    image = render(means3d, log_scales, quats, opacities, colors, camera)
     image.block_until_ready()
     print(f"First render (incl. compile): {time.perf_counter() - t0:.2f}s")
     t0 = time.perf_counter()
-    image = render(means3d, log_scales, quats, opacities, colors)
+    image = render(means3d, log_scales, quats, opacities, colors, camera)
     image.block_until_ready()
     print(f"Steady-state render: {time.perf_counter() - t0:.3f}s")
     print(f"Rendered image shape: {image.shape}")

@@ -146,17 +146,36 @@ def bin_gaussians_to_tiles(
     slot = jnp.arange(capacity, dtype=jnp.int32)
     in_range = (slot < total) & (gid_buf >= 0)
     safe_gid = jnp.clip(gid_buf, 0, N - 1)
-    k = slot - offsets[safe_gid]
-    sx = jnp.maximum(span_x[safe_gid], 1)
+    # ONE packed row-gather of the per-gaussian fields (XLA's TPU gather is
+    # scalar-core bound per row: five 1D gathers cost ~5x one 5-wide row
+    # gather). Integer fields round-trip exactly through f32 (tile grids and
+    # offsets are far below 2^24).
+    fields = jnp.stack(
+        [
+            offsets.astype(jnp.float32),
+            span_x.astype(jnp.float32),
+            tx_min.astype(jnp.float32),
+            ty_min.astype(jnp.float32),
+            depths.astype(jnp.float32),
+        ],
+        axis=-1,
+    )  # (N, 5)
+    g = fields[safe_gid]  # (capacity, 5)
+    g_off = g[:, 0].astype(jnp.int32)
+    g_sx = g[:, 1].astype(jnp.int32)
+    g_tx = g[:, 2].astype(jnp.int32)
+    g_ty = g[:, 3].astype(jnp.int32)
+    g_depth = g[:, 4]
+
+    k = slot - g_off
+    sx = jnp.maximum(g_sx, 1)
     ky = k // sx
     kx = k - ky * sx
     tile_buf = jnp.where(
-        in_range,
-        (ty_min[safe_gid] + ky) * tw + (tx_min[safe_gid] + kx),
-        n_tiles,
+        in_range, (g_ty + ky) * tw + (g_tx + kx), n_tiles
     )
     gid_buf = jnp.where(in_range, safe_gid, -1)
-    depth_buf = jnp.where(in_range, depths[safe_gid], jnp.inf)
+    depth_buf = jnp.where(in_range, g_depth, jnp.inf)
 
     # One stable lexicographic sort on (tile, depth) — the torch backend's
     # two-pass argsort (binning.py:223-229) collapsed into a single fused sort.

@@ -150,6 +150,110 @@ def persp_proj(
     return means2d, cov2d
 
 
+def _fused_cov2d(means3d, scales, quats, camera):
+    """Fully element-wise EWA projection: quat -> Sigma -> camera frame ->
+    2D covariance, with no (N, 3, 3) intermediates.
+
+    Same math as quat_scale_to_covar / world_to_cam / persp_proj (and the
+    reference's per-thread scalar pipeline, projection.mojo:90-203), expanded
+    component-wise so XLA fuses the whole stage into one pass over N — the
+    einsum forms lower to batched 3x3 matmuls that neither fuse nor fill the
+    MXU.
+
+    Returns (means2d (N,2), depths (N,), c00, c01, c11) with the 2D
+    covariance entries NOT yet eps2d-dilated.
+    """
+    norm = jnp.linalg.norm(quats, axis=-1, keepdims=True)
+    q = quats / jnp.maximum(norm, 1e-12)
+    w, x, y, z = q[:, 0], q[:, 1], q[:, 2], q[:, 3]
+    s0, s1, s2 = (jnp.exp(scales[:, i]) for i in range(3))
+
+    r00 = 1 - 2 * (y * y + z * z)
+    r01 = 2 * (x * y - w * z)
+    r02 = 2 * (x * z + w * y)
+    r10 = 2 * (x * y + w * z)
+    r11 = 1 - 2 * (x * x + z * z)
+    r12 = 2 * (y * z - w * x)
+    r20 = 2 * (x * z - w * y)
+    r21 = 2 * (y * z + w * x)
+    r22 = 1 - 2 * (x * x + y * y)
+
+    # Sigma = (R S)(R S)^T, unique entries only.
+    m00, m01, m02 = r00 * s0, r01 * s1, r02 * s2
+    m10, m11, m12 = r10 * s0, r11 * s1, r12 * s2
+    m20, m21, m22 = r20 * s0, r21 * s1, r22 * s2
+    s_00 = m00 * m00 + m01 * m01 + m02 * m02
+    s_01 = m00 * m10 + m01 * m11 + m02 * m12
+    s_02 = m00 * m20 + m01 * m21 + m02 * m22
+    s_11 = m10 * m10 + m11 * m11 + m12 * m12
+    s_12 = m10 * m20 + m11 * m21 + m12 * m22
+    s_22 = m20 * m20 + m21 * m21 + m22 * m22
+
+    V = camera.view_matrix  # (4, 4) traced
+    v = [[V[i, j] for j in range(3)] for i in range(3)]
+    tvec = [V[i, 3] for i in range(3)]
+
+    mx, my, mz = means3d[:, 0], means3d[:, 1], means3d[:, 2]
+    cam_mean = [
+        v[i][0] * mx + v[i][1] * my + v[i][2] * mz + tvec[i] for i in range(3)
+    ]
+    tx, ty, tz = cam_mean
+
+    # Sigma_c = V Sigma V^T via t_i = Sigma @ v_i (Sigma symmetric).
+    def sig_v(a):
+        return (
+            s_00 * a[0] + s_01 * a[1] + s_02 * a[2],
+            s_01 * a[0] + s_11 * a[1] + s_12 * a[2],
+            s_02 * a[0] + s_12 * a[1] + s_22 * a[2],
+        )
+
+    t0 = sig_v(v[0])
+    t1 = sig_v(v[1])
+    t2 = sig_v(v[2])
+
+    def dot_v(t, a):
+        return t[0] * a[0] + t[1] * a[1] + t[2] * a[2]
+
+    sc00 = dot_v(t0, v[0])
+    sc01 = dot_v(t0, v[1])
+    sc02 = dot_v(t0, v[2])
+    sc11 = dot_v(t1, v[1])
+    sc12 = dot_v(t1, v[2])
+    sc22 = dot_v(t2, v[2])
+
+    fx, fy, cx, cy = camera.fx, camera.fy, camera.cx, camera.cy
+    width, height = camera.W, camera.H
+    tz_safe = jnp.where(jnp.abs(tz) < 1e-8, 1e-8, tz)
+    rz = 1.0 / tz_safe
+    rz2 = rz * rz
+
+    # Frustum guard-band clamp (projection.py:143-148).
+    tan_fovx = 0.5 * width / fx
+    tan_fovy = 0.5 * height / fy
+    lim_x_pos = (width - cx) / fx + 0.3 * tan_fovx
+    lim_x_neg = cx / fx + 0.3 * tan_fovx
+    lim_y_pos = (height - cy) / fy + 0.3 * tan_fovy
+    lim_y_neg = cy / fy + 0.3 * tan_fovy
+    txc = tz_safe * jnp.clip(tx * rz, -lim_x_neg, lim_x_pos)
+    tyc = tz_safe * jnp.clip(ty * rz, -lim_y_neg, lim_y_pos)
+
+    # cov2d = J Sigma_c J^T with J = [[fx/z, 0, -fx tx/z^2],
+    #                                 [0, fy/z, -fy ty/z^2]].
+    ax = txc * rz  # tx/z (clamped)
+    ay = tyc * rz
+    c00 = fx * fx * rz2 * (s2c(sc00, sc02, sc22, ax))
+    c11 = fy * fy * rz2 * (s2c(sc11, sc12, sc22, ay))
+    c01 = fx * fy * rz2 * (sc01 - ay * sc02 - ax * sc12 + ax * ay * sc22)
+
+    means2d = jnp.stack([fx * tx * rz + cx, fy * ty * rz + cy], axis=-1)
+    return means2d, tz, c00, c01, c11
+
+
+def s2c(saa, sab, sbb, a):
+    """Quadratic form (1, -a) [[saa, sab], [sab, sbb]] (1, -a)^T."""
+    return saa - 2.0 * a * sab + a * a * sbb
+
+
 def project_gaussians(
     means3d: jax.Array,  # (N, 3) world-space centers
     scales: jax.Array,  # (N, 3) log-space scales
@@ -163,25 +267,17 @@ def project_gaussians(
     Same public signature role as project_gaussians (projection.py:15-48), with
     the backend dispatch replaced by a single TPU-native implementation.
     """
-    covars = quat_scale_to_covar(quats, jnp.exp(scales))  # (N, 3, 3)
-    means_c, covars_c = world_to_cam(means3d, covars, camera.view_matrix)
-    means2d, cov2d = persp_proj(
-        means_c, covars_c, camera.fx, camera.fy, camera.cx, camera.cy,
-        camera.W, camera.H,
+    means2d, depths, c00_raw, c01_raw, c11_raw = _fused_cov2d(
+        means3d, scales, quats, camera
     )
-
-    depths = means_c[:, 2]
 
     # eps2d dilation (projection.py:242) and determinant clamp (:248).
-    c00 = cov2d[:, 0, 0] + config.eps2d
-    c11 = cov2d[:, 1, 1] + config.eps2d
-    c01 = cov2d[:, 0, 1]
-    c10 = cov2d[:, 1, 0]
-    det = jnp.maximum(c00 * c11 - c01 * c10, 1e-10)
+    c00 = c00_raw + config.eps2d
+    c11 = c11_raw + config.eps2d
+    c01 = c01_raw
+    det = jnp.maximum(c00 * c11 - c01 * c01, 1e-10)
 
-    conics = jnp.stack(
-        [c11 / det, -(c01 + c10) / 2.0 / det, c00 / det], axis=-1
-    )
+    conics = jnp.stack([c11 / det, -c01 / det, c00 / det], axis=-1)
 
     # Radius: opacity-aware (projection.mojo:214-226 / gsplat CUDA) or the
     # plain 3.33-sigma variant (projection.py:266-267).

@@ -47,10 +47,14 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..config import RenderConfig
 
-# gdata row layout (gaussians on lanes): x, y, conic_a, conic_b, conic_c, opac
-_GROWS = 6
-# colors are stored (slot, 4): rgb + zero pad so the blend matmul has an
-# even N dim and the final T can share the output buffer's 4th column.
+# Packed per-slot row layout (gaussians on lanes after the XLA transpose):
+# rows 0..5 = x, y, conic_a, conic_b, conic_c, opacity; rows 6..9 = rgb + one
+# zero pad column (so blend matmuls have an even N dim and the final T can
+# share the output buffer's 4th column). ONE packed row-gather: XLA's TPU
+# gather costs ~per-row scalar-core work, so 10 separate field gathers are
+# ~10x the price of one 10-wide row gather (measured 45 ms -> ~1 ms at 400k
+# intersections).
+_PROWS = 10
 _CCOLS = 4
 
 
@@ -103,19 +107,27 @@ def _tile_pixel_centers(t, ts, tw, P):
     return px, py
 
 
-def _chunk_geometry(gdata_ref, k, K, px, py, count, config):
+def _chunk_rows(pdata_ref, k, K):
+    """Read chunk k's (_PROWS, K) field rows (gaussians on lanes).
+
+    The row-major (n_tiles, _PROWS, cap) layout comes from one XLA transpose
+    after the gather; measured faster than transposing per chunk in VMEM.
+    """
+    return pdata_ref[0, :, k * K : (k + 1) * K]
+
+
+def _chunk_geometry(g, k, K, px, py, count, config):
     """Shared fwd/bwd per-chunk math up to the (P, K) alpha matrix.
 
-    ``k`` is a static Python int (unrolled loop). Matches _pixel_alphas
-    (rasterization.py:103-114).
+    ``g`` is the (_PROWS, K) transposed chunk; ``k`` is a static Python int
+    (unrolled loop). Matches _pixel_alphas (rasterization.py:103-114).
     """
-    sl = slice(k * K, (k + 1) * K)
-    xg = gdata_ref[0, 0:1, sl]  # (1, K)
-    yg = gdata_ref[0, 1:2, sl]
-    ca = gdata_ref[0, 2:3, sl]
-    cb = gdata_ref[0, 3:4, sl]
-    cc = gdata_ref[0, 4:5, sl]
-    op = gdata_ref[0, 5:6, sl]
+    xg = g[0:1, :]  # (1, K)
+    yg = g[1:2, :]
+    ca = g[2:3, :]
+    cb = g[3:4, :]
+    cc = g[4:5, :]
+    op = g[5:6, :]
 
     dx = xg - px  # (P, K)
     dy = yg - py
@@ -133,7 +145,7 @@ def _chunk_geometry(gdata_ref, k, K, px, py, count, config):
     return alpha, keep, raw, e, dx, dy, ca, cb, cc, op, col
 
 
-def _fwd_kernel(counts_ref, gdata_ref, colors_ref, out_ref,
+def _fwd_kernel(counts_ref, pdata_ref, out_ref,
                 t_s, done_s, acc_s, *, K, P, ts, tw, config):
     # All loop state lives in VMEM scratch and chunk updates are predicated
     # (pl.when): branch carries of (P, 1) vectors blow up Mosaic's scf.if
@@ -141,7 +153,7 @@ def _fwd_kernel(counts_ref, gdata_ref, colors_ref, out_ref,
     t = pl.program_id(0)
     count = counts_ref[t]
     eps = config.transmittance_eps
-    cap = gdata_ref.shape[2]
+    cap = pdata_ref.shape[2]
     px, py = _tile_pixel_centers(t, ts, tw, P)
 
     t_s[...] = jnp.ones((P, 1), jnp.float32)
@@ -155,8 +167,9 @@ def _fwd_kernel(counts_ref, gdata_ref, colors_ref, out_ref,
         def _(k=k):
             t_in = t_s[...]
             done = done_s[...]
+            g = _chunk_rows(pdata_ref, k, K)
             alpha, *_rest = _chunk_geometry(
-                gdata_ref, k, K, px, py, count, config
+                g, k, K, px, py, count, config
             )
             col = jax.lax.broadcasted_iota(jnp.int32, alpha.shape, 1)
             cum = _lane_cumprod(1.0 - alpha, col, K)
@@ -167,9 +180,10 @@ def _fwd_kernel(counts_ref, gdata_ref, colors_ref, out_ref,
             excl = _lane_excl(cume, col, 1.0)
             w = eff * t_in * excl  # (P, K)
 
-            cols = colors_ref[0, k * K : (k + 1) * K, :]  # (K, 4)
-            acc_s[...] = acc_s[...] + jnp.dot(
-                w, cols, preferred_element_type=jnp.float32
+            cols_t = g[6:10, :]  # (4, K) rgb + zero pad row
+            acc_s[...] = acc_s[...] + jax.lax.dot_general(
+                w, cols_t, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
             )
             t_s[...] = t_in * cume[:, K - 1 : K]
             done_s[...] = jnp.maximum(
@@ -179,20 +193,19 @@ def _fwd_kernel(counts_ref, gdata_ref, colors_ref, out_ref,
     out_ref[0, :, :] = jnp.concatenate([acc_s[:, :3], t_s[...]], axis=1)
 
 
-def _bwd_kernel(counts_ref, gdata_ref, colors_ref, gout_ref,
-                dgdata_ref, dcolors_ref,
+def _bwd_kernel(counts_ref, pdata_ref, gout_ref,
+                dpdata_ref,
                 t_s, done_s, gt_s, *hist_s, K, P, ts, tw, config):
     # Loop state in VMEM scratch + pl.when, same rationale as _fwd_kernel.
     # hist_s holds 2 scratch refs per chunk: incoming T and incoming done.
     t = pl.program_id(0)
     count = counts_ref[t]
     eps = config.transmittance_eps
-    cap = gdata_ref.shape[2]
+    cap = pdata_ref.shape[2]
     nchunks_max = cap // K
     px, py = _tile_pixel_centers(t, ts, tw, P)
 
-    dgdata_ref[...] = jnp.zeros_like(dgdata_ref)
-    dcolors_ref[...] = jnp.zeros_like(dcolors_ref)
+    dpdata_ref[...] = jnp.zeros_like(dpdata_ref)
 
     def chunk_guard(k, done):
         return (k * K < count) & (jnp.min(done) == 0.0)
@@ -209,8 +222,9 @@ def _bwd_kernel(counts_ref, gdata_ref, colors_ref, gout_ref,
         def _(k=k):
             t_in = t_s[...]
             done = done_s[...]
+            g = _chunk_rows(pdata_ref, k, K)
             alpha, *_rest = _chunk_geometry(
-                gdata_ref, k, K, px, py, count, config
+                g, k, K, px, py, count, config
             )
             col = jax.lax.broadcasted_iota(jnp.int32, alpha.shape, 1)
             cum = _lane_cumprod(1.0 - alpha, col, K)
@@ -237,8 +251,9 @@ def _bwd_kernel(counts_ref, gdata_ref, colors_ref, gout_ref,
             t_in = hist_s[2 * k][...]
             done = hist_s[2 * k + 1][...]
             gt = gt_s[...]
+            g = _chunk_rows(pdata_ref, k, K)
             alpha, keep, raw, e, dx, dy, ca, cb, cc, op, col = (
-                _chunk_geometry(gdata_ref, k, K, px, py, count, config)
+                _chunk_geometry(g, k, K, px, py, count, config)
             )
             cum = _lane_cumprod(1.0 - alpha, col, K)
             t_after = t_in * cum
@@ -251,20 +266,18 @@ def _bwd_kernel(counts_ref, gdata_ref, colors_ref, gout_ref,
             w = eff * t_before
             t_out = t_in * cume[:, K - 1 : K]
 
-            sl = slice(k * K, (k + 1) * K)
-            cols = colors_ref[0, sl, :]  # (K, 4)
-            # cv[p, j] = sum_c v[p, c] * cols[j, c]
+            cols_t = g[6:10, :]  # (4, K) rgb + zero pad row
+            # cv[p, j] = sum_c v[p, c] * cols_t[c, j]
             cv = jax.lax.dot_general(
-                v, cols, (((1,), (1,)), ((), ())),
+                v, cols_t, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )  # (P, K)
 
-            # d colors_j = sum_p w[p, j] * v[p, :]  (contraction over pixels)
-            d_cols = jax.lax.dot_general(
-                w, v, (((0,), (0,)), ((), ())),
+            # d cols_t[c, j] = sum_p v[p, c] * w[p, j]
+            d_cols_t = jax.lax.dot_general(
+                v, w, (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            )  # (K, 4)
-            dcolors_ref[0, sl, :] = d_cols
+            )  # (4, K)
 
             q = w * cv  # (P, K)
             S = _lane_rev_cumsum_excl(q, col, K)
@@ -280,13 +293,22 @@ def _bwd_kernel(counts_ref, gdata_ref, colors_ref, gout_ref,
             d_dx = (ca * dx + cb * dy) * d_sigma
             d_dy = (cc * dy + cb * dx) * d_sigma
 
-            # Reduce over pixels (sublanes) -> per-gaussian rows (1, K).
-            dgdata_ref[0, 0:1, sl] = jnp.sum(d_dx, axis=0, keepdims=True)
-            dgdata_ref[0, 1:2, sl] = jnp.sum(d_dy, axis=0, keepdims=True)
-            dgdata_ref[0, 2:3, sl] = jnp.sum(d_ca, axis=0, keepdims=True)
-            dgdata_ref[0, 3:4, sl] = jnp.sum(d_cb, axis=0, keepdims=True)
-            dgdata_ref[0, 4:5, sl] = jnp.sum(d_cc, axis=0, keepdims=True)
-            dgdata_ref[0, 5:6, sl] = jnp.sum(d_op, axis=0, keepdims=True)
+            # Reduce over pixels (sublanes) -> per-gaussian rows (1, K),
+            # assemble the (10, K) gradient block, transpose back to the
+            # HBM slot-major layout, write the chunk's slice.
+            d_g = jnp.concatenate(
+                [
+                    jnp.sum(d_dx, axis=0, keepdims=True),
+                    jnp.sum(d_dy, axis=0, keepdims=True),
+                    jnp.sum(d_ca, axis=0, keepdims=True),
+                    jnp.sum(d_cb, axis=0, keepdims=True),
+                    jnp.sum(d_cc, axis=0, keepdims=True),
+                    jnp.sum(d_op, axis=0, keepdims=True),
+                    d_cols_t,
+                ],
+                axis=0,
+            )  # (10, K)
+            dpdata_ref[0, :, k * K : (k + 1) * K] = d_g
 
             # dL/dT_in = sum_j eff_j excl_j cv_j + gT_out * prod(1 - eff).
             gt_s[...] = (
@@ -295,14 +317,13 @@ def _bwd_kernel(counts_ref, gdata_ref, colors_ref, gout_ref,
             )
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
-def raster_tiles_pallas(gdata, colors_t, counts, ts, tw, config):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def raster_tiles_pallas(pdata, counts, ts, tw, config):
     """Blend each tile's gathered gaussians front-to-back.
 
     Args:
-        gdata: (n_tiles, 6, cap) f32 rows [x, y, conic_a, conic_b, conic_c,
-            opacity]; invalid slots must carry opacity 0.
-        colors_t: (n_tiles, cap, 4) f32, column 3 zero.
+        pdata: (n_tiles, 10, cap) f32 packed field rows [x, y, conic_a,
+            conic_b, conic_c, opacity, r, g, b, 0]; invalid slots all-zero.
         counts: (n_tiles,) int32 real intersections per tile (<= cap).
         ts: tile size (static).
         tw: tile-grid width (static), for pixel-coordinate reconstruction.
@@ -313,11 +334,11 @@ def raster_tiles_pallas(gdata, colors_t, counts, ts, tw, config):
         final per-pixel transmittance (the value the reference discards,
         rasterization.py:124).
     """
-    return _raster_fwd_call(gdata, colors_t, counts, ts, tw, config)
+    return _raster_fwd_call(pdata, counts, ts, tw, config)
 
 
-def _raster_fwd_call(gdata, colors_t, counts, ts, tw, config):
-    n_tiles, _, cap = gdata.shape
+def _raster_fwd_call(pdata, counts, ts, tw, config):
+    n_tiles, _, cap = pdata.shape
     P = ts * ts
     K = config.pallas_chunk
     if cap % K != 0:
@@ -330,8 +351,7 @@ def _raster_fwd_call(gdata, colors_t, counts, ts, tw, config):
         num_scalar_prefetch=1,
         grid=(n_tiles,),
         in_specs=[
-            pl.BlockSpec((1, _GROWS, cap), lambda t, c: (t, 0, 0)),
-            pl.BlockSpec((1, cap, _CCOLS), lambda t, c: (t, 0, 0)),
+            pl.BlockSpec((1, _PROWS, cap), lambda t, c: (t, 0, 0)),
         ],
         out_specs=pl.BlockSpec((1, P, _CCOLS), lambda t, c: (t, 0, 0)),
         scratch_shapes=[
@@ -345,17 +365,17 @@ def _raster_fwd_call(gdata, colors_t, counts, ts, tw, config):
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_tiles, P, _CCOLS), jnp.float32),
         interpret=config.pallas_interpret,
-    )(counts, gdata, colors_t)
+    )(counts, pdata)
 
 
-def _raster_fwd_rule(gdata, colors_t, counts, ts, tw, config):
-    out = _raster_fwd_call(gdata, colors_t, counts, ts, tw, config)
-    return out, (gdata, colors_t, counts)
+def _raster_fwd_rule(pdata, counts, ts, tw, config):
+    out = _raster_fwd_call(pdata, counts, ts, tw, config)
+    return out, (pdata, counts)
 
 
 def _raster_bwd_rule(ts, tw, config, residuals, gout):
-    gdata, colors_t, counts = residuals
-    n_tiles, _, cap = gdata.shape
+    pdata, counts = residuals
+    n_tiles, _, cap = pdata.shape
     P = ts * ts
     K = config.pallas_chunk
 
@@ -366,14 +386,10 @@ def _raster_bwd_rule(ts, tw, config, residuals, gout):
         num_scalar_prefetch=1,
         grid=(n_tiles,),
         in_specs=[
-            pl.BlockSpec((1, _GROWS, cap), lambda t, c: (t, 0, 0)),
-            pl.BlockSpec((1, cap, _CCOLS), lambda t, c: (t, 0, 0)),
+            pl.BlockSpec((1, _PROWS, cap), lambda t, c: (t, 0, 0)),
             pl.BlockSpec((1, P, _CCOLS), lambda t, c: (t, 0, 0)),
         ],
-        out_specs=[
-            pl.BlockSpec((1, _GROWS, cap), lambda t, c: (t, 0, 0)),
-            pl.BlockSpec((1, cap, _CCOLS), lambda t, c: (t, 0, 0)),
-        ],
+        out_specs=pl.BlockSpec((1, _PROWS, cap), lambda t, c: (t, 0, 0)),
         scratch_shapes=[
             pltpu.VMEM((P, 1), jnp.float32),  # t_s
             pltpu.VMEM((P, 1), jnp.float32),  # done_s
@@ -384,45 +400,44 @@ def _raster_bwd_rule(ts, tw, config, residuals, gout):
             for _ in range(2 * (cap // K))
         ],
     )
-    d_gdata, d_colors = pl.pallas_call(
+    d_pdata = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct((n_tiles, _GROWS, cap), jnp.float32),
-            jax.ShapeDtypeStruct((n_tiles, cap, _CCOLS), jnp.float32),
-        ],
+        out_shape=jax.ShapeDtypeStruct((n_tiles, _PROWS, cap), jnp.float32),
         interpret=config.pallas_interpret,
-    )(counts, gdata, colors_t, gout)
+    )(counts, pdata, gout)
     d_counts = np.zeros(counts.shape, dtype=jax.dtypes.float0)
-    return d_gdata, d_colors, d_counts
+    return d_pdata, d_counts
 
 
 raster_tiles_pallas.defvjp(_raster_fwd_rule, _raster_bwd_rule)
 
 
 def gather_tile_data(means2d, conics, colors, opacities, table):
-    """XLA gather of per-slot gaussian data for the kernels.
+    """Pack per-gaussian data into (N, 10) rows, gather by table, transpose.
 
-    The autodiff of this gather is the deterministic scatter-add that routes
-    per-slot gradients back to per-gaussian arrays (no atomics).
+    ONE packed row-gather instead of ten field gathers: XLA's TPU gather is
+    scalar-core bound per *row*, so width is nearly free while row count is
+    not (measured ~45 ms -> ~1 ms at 400k intersections). The autodiff of
+    this gather is the deterministic scatter-add that routes per-slot
+    gradients back to per-gaussian arrays (no atomics).
+
+    Returns pdata (n_tiles, 10, cap) f32 with invalid slots zeroed.
     """
     N = means2d.shape[0]
-    safe = jnp.clip(table, 0, N - 1)
-    valid = table >= 0
-    op_eff = jnp.where(valid, opacities[safe], 0.0)
-    gdata = jnp.stack(
-        [
-            means2d[..., 0][safe],
-            means2d[..., 1][safe],
-            conics[..., 0][safe],
-            conics[..., 1][safe],
-            conics[..., 2][safe],
-            op_eff,
-        ],
-        axis=1,
-    ).astype(jnp.float32)  # (n_tiles, 6, cap)
     C = colors.shape[-1]
-    colors4 = jnp.pad(colors.astype(jnp.float32), ((0, 0), (0, _CCOLS - C)))
-    colors_t = colors4[safe]  # (n_tiles, cap, 4)
-    colors_t = jnp.where(valid[..., None], colors_t, 0.0)
-    return gdata, colors_t
+    packed = jnp.concatenate(
+        [
+            means2d.astype(jnp.float32),
+            conics.astype(jnp.float32),
+            opacities.astype(jnp.float32)[:, None],
+            colors.astype(jnp.float32),
+            jnp.zeros((N, _PROWS - 6 - C), jnp.float32),
+        ],
+        axis=-1,
+    )  # (N, 10): x, y, ca, cb, cc, op, r, g, b, 0
+    n_tiles, cap = table.shape
+    safe = jnp.clip(table.reshape(-1), 0, N - 1)  # flat index: fastest form
+    rows = packed[safe].reshape(n_tiles, cap, _PROWS)  # the one gather
+    rows = jnp.where((table >= 0)[..., None], rows, 0.0)
+    return rows.transpose(0, 2, 1)  # (n_tiles, 10, cap) field rows

@@ -171,14 +171,12 @@ def rasterize_gaussians(
     if config.raster_impl == "pallas":
         from .raster_pallas import gather_tile_data, raster_tiles_pallas
 
-        gdata, colors_t = gather_tile_data(
-            means2d, conics, colors, opacities, table
-        )
+        pdata = gather_tile_data(means2d, conics, colors, opacities, table)
         ranges_flat = binning.tile_ranges.reshape(n_tiles, 2)
         counts = jnp.clip(
             ranges_flat[:, 1] - ranges_flat[:, 0], 0, config.tile_capacity
         ).astype(jnp.int32)
-        out = raster_tiles_pallas(gdata, colors_t, counts, ts, tw, config)
+        out = raster_tiles_pallas(pdata, counts, ts, tw, config)
         T_tiles = out[:, :, 3]
         out_tiles = (
             out[:, :, :C] + T_tiles[:, :, None] * background[None, None, :]

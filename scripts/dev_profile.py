@@ -85,8 +85,8 @@ proj = project_gaussians(params["means3d"], params["scales"], params["quats"],
                          params["opacities"], camera, cfg)
 binning = bin_gaussians_to_tiles(proj.means2d, proj.radii, proj.depths, H, W, cfg)
 table, _ = build_tile_table(binning, cfg.tile_capacity)
-gdata, colors_t = gather_tile_data(proj.means2d, proj.conics, colors,
-                                   params["opacities"], table)
+pdata = gather_tile_data(proj.means2d, proj.conics, colors,
+                         params["opacities"], table)
 ranges = binning.tile_ranges.reshape(-1, 2)
 counts = jnp.clip(ranges[:, 1] - ranges[:, 0], 0, cfg.tile_capacity).astype(jnp.int32)
 print("mean count/tile:", float(counts.mean()), " max:", int(counts.max()),
@@ -115,11 +115,11 @@ amortized("gather fwd+bwd",
           proj.means2d, proj.conics, colors, params["opacities"], table,
           grad_of=(0, 1, 2, 3))
 amortized("pallas raster fwd",
-          lambda g, c, n_: raster_tiles_pallas(g, c, n_, cfg.tile_size, tw, cfg),
-          gdata, colors_t, counts)
+          lambda g, n_: raster_tiles_pallas(g, n_, cfg.tile_size, tw, cfg),
+          pdata, counts)
 amortized("pallas raster fwd+bwd",
-          lambda g, c, n_: raster_tiles_pallas(g, c, n_, cfg.tile_size, tw, cfg),
-          gdata, colors_t, counts, grad_of=(0, 1))
+          lambda g, n_: raster_tiles_pallas(g, n_, cfg.tile_size, tw, cfg),
+          pdata, counts, grad_of=(0,))
 
 cfg_x = RenderConfig(tile_capacity=512, chunk_size=64, tile_batch=512,
                      max_tile_span=8)

@@ -3,10 +3,16 @@
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 Headline config (BASELINE.json config 4): 1M gaussians, 1080p, SH color
-evaluation, forward+backward, single chip. The reference publishes no numbers
-(README.md:133-135 is a placeholder and BASELINE.json "published" is empty),
-so vs_baseline is reported against the previous round's recorded result
-(BENCH_r*.json) when present, else 1.0.
+evaluation, forward+backward, single chip, Pallas rasterization kernels.
+The reference publishes no numbers (README.md:133-135 is a placeholder and
+BASELINE.json "published" is empty), so vs_baseline is reported against the
+previous round's recorded result (BENCH_r*.json) when present, else 1.0.
+
+Measurement notes (this machine): the TPU tunnel adds ~30 ms per
+synchronized dispatch, so the timed iterations run *inside* one jit via
+lax.scan (chained through the carry); the reported time is
+(N-iter call - 1-iter call) / (N - 1), which cancels the per-call overhead.
+Device arrays are always jit arguments, never closure constants.
 
 Run directly on the TPU:  python bench.py
 Smaller smoke config:     python bench.py --gaussians 100000 --height 600 --width 800
@@ -15,10 +21,9 @@ Smaller smoke config:     python bench.py --gaussians 100000 --height 600 --widt
 from __future__ import annotations
 
 import argparse
+import functools
 import glob
 import json
-import os
-import re
 import time
 
 import jax
@@ -28,18 +33,16 @@ from mojosplat_tpu import Camera, RenderConfig, render_gaussians
 from mojosplat_tpu import train as mtrain
 
 
-def build_step(n, H, W, sh_degree, config, mode):
-    # The camera is a jit *argument*, never a closure constant: executables
-    # that capture pre-existing device buffers as constants fall off this
-    # backend's fast dispatch path (~30 ms/call re-staging penalty).
+def build_loop(n, H, W, sh_degree, config, mode, iters):
     camera = Camera.create(
         R=jnp.eye(3), T=jnp.zeros(3), H=H, W=W,
         fx=0.5 * W, fy=0.5 * W, cx=W / 2, cy=H / 2,
     )
-    raw = mtrain.init_gaussians(
-        jax.random.PRNGKey(0), n, sh_degree=sh_degree, position_scale=2.0
+    params = mtrain.activate(
+        mtrain.init_gaussians(
+            jax.random.PRNGKey(0), n, sh_degree=sh_degree, position_scale=2.0
+        )
     )
-    params = mtrain.activate(raw)
 
     def forward(p, cam):
         return render_gaussians(
@@ -48,16 +51,27 @@ def build_step(n, H, W, sh_degree, config, mode):
             background_color=jnp.array([0.1, 0.1, 0.1]), config=config,
         )
 
-    if mode == "fwd":
-        fn = jax.jit(forward)
-        return lambda p: fn(p, camera), params
+    def one(p, cam):
+        if mode == "fwd":
+            return jnp.sum(forward(p, cam))
+        g = jax.grad(lambda q: jnp.mean(forward(q, cam) ** 2))(p)
+        return sum(jnp.sum(v) for v in g.values())
 
-    def loss(p, cam):
-        img = forward(p, cam)
-        return jnp.mean(img**2)
+    def loop(p, cam, iters):
+        def body(carry, _):
+            q = dict(p)
+            q["means3d"] = p["means3d"] + carry * 0.0
+            return one(q, cam), None
 
-    fn = jax.jit(jax.grad(loss))
-    return lambda p: fn(p, camera), params
+        out, _ = jax.lax.scan(body, 0.0, None, length=iters)
+        return out
+
+    return (
+        jax.jit(functools.partial(loop, iters=iters)),
+        jax.jit(functools.partial(loop, iters=1)),
+        params,
+        camera,
+    )
 
 
 def previous_round_value(metric: str) -> float | None:
@@ -80,8 +94,8 @@ def main():
     ap.add_argument("--width", type=int, default=1920)
     ap.add_argument("--sh-degree", type=int, default=3)
     ap.add_argument("--mode", choices=["fwd", "fwdbwd"], default="fwdbwd")
-    ap.add_argument("--iters", type=int, default=5)
-    ap.add_argument("--warmup", type=int, default=2)
+    ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--impl", default="pallas", choices=["xla", "pallas"])
     args = ap.parse_args()
 
     config = RenderConfig(
@@ -89,19 +103,24 @@ def main():
         chunk_size=64,
         tile_batch=512,
         max_tile_span=8,
-        isect_padding_multiplier=4,
+        raster_impl=args.impl,
+        pallas_chunk=128,
     )
-    fn, params = build_step(
-        args.gaussians, args.height, args.width,
-        args.sh_degree if args.sh_degree >= 0 else None, config, args.mode,
+    sh = args.sh_degree if args.sh_degree >= 0 else None
+    fn, fn1, params, camera = build_loop(
+        args.gaussians, args.height, args.width, sh, config, args.mode,
+        args.iters,
     )
 
-    for _ in range(args.warmup):
-        jax.block_until_ready(fn(params))
+    float(fn1(params, camera))  # compile
+    float(fn(params, camera))  # compile
     t0 = time.perf_counter()
-    for _ in range(args.iters):
-        jax.block_until_ready(fn(params))
-    dt = (time.perf_counter() - t0) / args.iters
+    float(fn1(params, camera))
+    t1 = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    float(fn(params, camera))
+    total = time.perf_counter() - t0
+    dt = (total - t1) / (args.iters - 1)
 
     pixels_per_s = args.height * args.width / dt
     metric = (

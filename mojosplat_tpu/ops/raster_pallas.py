@@ -438,6 +438,11 @@ def gather_tile_data(means2d, conics, colors, opacities, table):
     )  # (N, 10): x, y, ca, cb, cc, op, r, g, b, 0
     n_tiles, cap = table.shape
     safe = jnp.clip(table.reshape(-1), 0, N - 1)  # flat index: fastest form
-    rows = packed[safe].reshape(n_tiles, cap, _PROWS)  # the one gather
+    # Optimization barriers keep XLA from fusing the gather with its
+    # neighbors: the fused emission walks rows ~5x slower than the
+    # standalone dynamic-gather kernel (14 ns/row vs 2.7 ns/row measured).
+    packed_b, safe_b = jax.lax.optimization_barrier((packed, safe))
+    rows = packed_b[safe_b]  # the one gather
+    rows = jax.lax.optimization_barrier(rows).reshape(n_tiles, cap, _PROWS)
     rows = jnp.where((table >= 0)[..., None], rows, 0.0)
     return rows.transpose(0, 2, 1)  # (n_tiles, 10, cap) field rows

@@ -110,10 +110,12 @@ def _tile_pixel_centers(t, ts, tw, P):
 def _chunk_rows(pdata_ref, k, K):
     """Read chunk k's (_PROWS, K) field rows (gaussians on lanes).
 
-    The row-major (n_tiles, _PROWS, cap) layout comes from one XLA transpose
-    after the gather; measured faster than transposing per chunk in VMEM.
+    pdata is field-major (_PROWS, n_tiles*cap), blocked (_PROWS, cap) per
+    tile: one XLA transpose after the gather, zero transposes anywhere in
+    the backward chain (each 1080p transpose of this data is a 167 MB
+    round-trip that buffer assignment then fails to reuse).
     """
-    return pdata_ref[0, :, k * K : (k + 1) * K]
+    return pdata_ref[:, k * K : (k + 1) * K]
 
 
 def _chunk_geometry(g, k, K, px, py, count, config):
@@ -153,7 +155,7 @@ def _fwd_kernel(counts_ref, pdata_ref, out_ref,
     t = pl.program_id(0)
     count = counts_ref[t]
     eps = config.transmittance_eps
-    cap = pdata_ref.shape[2]
+    cap = pdata_ref.shape[1]
     px, py = _tile_pixel_centers(t, ts, tw, P)
 
     t_s[...] = jnp.ones((P, 1), jnp.float32)
@@ -201,7 +203,7 @@ def _bwd_kernel(counts_ref, pdata_ref, gout_ref,
     t = pl.program_id(0)
     count = counts_ref[t]
     eps = config.transmittance_eps
-    cap = pdata_ref.shape[2]
+    cap = pdata_ref.shape[1]
     nchunks_max = cap // K
     px, py = _tile_pixel_centers(t, ts, tw, P)
 
@@ -308,7 +310,7 @@ def _bwd_kernel(counts_ref, pdata_ref, gout_ref,
                 ],
                 axis=0,
             )  # (10, K)
-            dpdata_ref[0, :, k * K : (k + 1) * K] = d_g
+            dpdata_ref[:, k * K : (k + 1) * K] = d_g
 
             # dL/dT_in = sum_j eff_j excl_j cv_j + gT_out * prod(1 - eff).
             gt_s[...] = (
@@ -322,8 +324,9 @@ def raster_tiles_pallas(pdata, counts, ts, tw, config):
     """Blend each tile's gathered gaussians front-to-back.
 
     Args:
-        pdata: (n_tiles, 10, cap) f32 packed field rows [x, y, conic_a,
-            conic_b, conic_c, opacity, r, g, b, 0]; invalid slots all-zero.
+        pdata: (10, n_tiles*cap) f32 field-major packed rows [x, y, conic_a,
+            conic_b, conic_c, opacity, r, g, b, 0]; slots past each tile's
+            count are never read (count guard), so their content is free.
         counts: (n_tiles,) int32 real intersections per tile (<= cap).
         ts: tile size (static).
         tw: tile-grid width (static), for pixel-coordinate reconstruction.
@@ -338,7 +341,8 @@ def raster_tiles_pallas(pdata, counts, ts, tw, config):
 
 
 def _raster_fwd_call(pdata, counts, ts, tw, config):
-    n_tiles, _, cap = pdata.shape
+    n_tiles = counts.shape[0]
+    cap = pdata.shape[1] // n_tiles
     P = ts * ts
     K = config.pallas_chunk
     if cap % K != 0:
@@ -351,7 +355,7 @@ def _raster_fwd_call(pdata, counts, ts, tw, config):
         num_scalar_prefetch=1,
         grid=(n_tiles,),
         in_specs=[
-            pl.BlockSpec((1, _PROWS, cap), lambda t, c: (t, 0, 0)),
+            pl.BlockSpec((_PROWS, cap), lambda t, c: (0, t)),
         ],
         out_specs=pl.BlockSpec((1, P, _CCOLS), lambda t, c: (t, 0, 0)),
         scratch_shapes=[
@@ -375,7 +379,8 @@ def _raster_fwd_rule(pdata, counts, ts, tw, config):
 
 def _raster_bwd_rule(ts, tw, config, residuals, gout):
     pdata, counts = residuals
-    n_tiles, _, cap = pdata.shape
+    n_tiles = counts.shape[0]
+    cap = pdata.shape[1] // n_tiles
     P = ts * ts
     K = config.pallas_chunk
 
@@ -386,10 +391,10 @@ def _raster_bwd_rule(ts, tw, config, residuals, gout):
         num_scalar_prefetch=1,
         grid=(n_tiles,),
         in_specs=[
-            pl.BlockSpec((1, _PROWS, cap), lambda t, c: (t, 0, 0)),
+            pl.BlockSpec((_PROWS, cap), lambda t, c: (0, t)),
             pl.BlockSpec((1, P, _CCOLS), lambda t, c: (t, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, _PROWS, cap), lambda t, c: (t, 0, 0)),
+        out_specs=pl.BlockSpec((_PROWS, cap), lambda t, c: (0, t)),
         scratch_shapes=[
             pltpu.VMEM((P, 1), jnp.float32),  # t_s
             pltpu.VMEM((P, 1), jnp.float32),  # done_s
@@ -403,7 +408,7 @@ def _raster_bwd_rule(ts, tw, config, residuals, gout):
     d_pdata = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((n_tiles, _PROWS, cap), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((_PROWS, n_tiles * cap), jnp.float32),
         interpret=config.pallas_interpret,
     )(counts, pdata, gout)
     d_counts = np.zeros(counts.shape, dtype=jax.dtypes.float0)
@@ -413,16 +418,64 @@ def _raster_bwd_rule(ts, tw, config, residuals, gout):
 raster_tiles_pallas.defvjp(_raster_fwd_rule, _raster_bwd_rule)
 
 
-def gather_tile_data(means2d, conics, colors, opacities, table):
+def _gather_rows_impl(packed, safe):
+    packed_b, safe_b = jax.lax.optimization_barrier((packed, safe))
+    rows = jax.lax.optimization_barrier(packed_b[safe_b])  # (M, _PROWS)
+    return rows.T  # (_PROWS, M) field-major for the kernels
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _gather_rows(packed, safe, interpret=False):
+    """Field-major packed[safe].T with a hand-built adjoint.
+
+    Forward: optimization barriers keep XLA from fusing the gather with
+    neighbors (the fused emission walks rows ~5x slower than the standalone
+    dynamic-gather kernel, 14 vs 2.7 ns/row), then one transpose to the
+    field-major layout every kernel consumes.
+
+    Backward: the mathematically-implied scatter-add costs ~80 ns/row on TPU
+    (327 ms/frame at 1080p — every XLA scatter/segment primitive is
+    scalar-core bound); instead the cotangent arrives field-major, its rows
+    feed jax.lax.sort directly (contiguous operands, zero transposes), and a
+    banded matmul segment reduction (segsum_pallas.py) produces per-gaussian
+    grads ~10x faster, still deterministically. Keeping the whole chain
+    transpose-free also keeps peak HBM down: at 1080p each stray transpose
+    is a 167 MB temporary that XLA buffer assignment fails to reuse.
+    """
+    return _gather_rows_impl(packed, safe)
+
+
+def _gather_rows_fwd(packed, safe, interpret):
+    return _gather_rows_impl(packed, safe), (safe, packed.shape[0])
+
+
+def _gather_rows_bwd(interpret, res, g):
+    from .segsum_pallas import segment_sum_cols
+
+    safe, N = res
+    F = g.shape[0]
+    ops = jax.lax.sort(
+        (safe,) + tuple(g[i] for i in range(F)), num_keys=1
+    )
+    d_packed = segment_sum_cols(ops[1:], ops[0], N, interpret=interpret)
+    d_safe = np.zeros(safe.shape, dtype=jax.dtypes.float0)
+    return d_packed, d_safe
+
+
+_gather_rows.defvjp(_gather_rows_fwd, _gather_rows_bwd)
+
+
+def gather_tile_data(means2d, conics, colors, opacities, table,
+                     interpret=False):
     """Pack per-gaussian data into (N, 10) rows, gather by table, transpose.
 
     ONE packed row-gather instead of ten field gathers: XLA's TPU gather is
     scalar-core bound per *row*, so width is nearly free while row count is
-    not (measured ~45 ms -> ~1 ms at 400k intersections). The autodiff of
-    this gather is the deterministic scatter-add that routes per-slot
+    not (measured ~45 ms -> ~1 ms at 400k intersections). The VJP of
+    _gather_rows is the deterministic scatter-add that routes per-slot
     gradients back to per-gaussian arrays (no atomics).
 
-    Returns pdata (n_tiles, 10, cap) f32 with invalid slots zeroed.
+    Returns pdata (10, n_tiles*cap) f32, field-major.
     """
     N = means2d.shape[0]
     C = colors.shape[-1]
@@ -436,13 +489,7 @@ def gather_tile_data(means2d, conics, colors, opacities, table):
         ],
         axis=-1,
     )  # (N, 10): x, y, ca, cb, cc, op, r, g, b, 0
-    n_tiles, cap = table.shape
     safe = jnp.clip(table.reshape(-1), 0, N - 1)  # flat index: fastest form
-    # Optimization barriers keep XLA from fusing the gather with its
-    # neighbors: the fused emission walks rows ~5x slower than the
-    # standalone dynamic-gather kernel (14 ns/row vs 2.7 ns/row measured).
-    packed_b, safe_b = jax.lax.optimization_barrier((packed, safe))
-    rows = packed_b[safe_b]  # the one gather
-    rows = jax.lax.optimization_barrier(rows).reshape(n_tiles, cap, _PROWS)
-    rows = jnp.where((table >= 0)[..., None], rows, 0.0)
-    return rows.transpose(0, 2, 1)  # (n_tiles, 10, cap) field rows
+    # No validity masking: invalid (-1) slots only exist past each tile's
+    # count, and the kernels' count guard never reads them.
+    return _gather_rows(packed, safe, interpret)  # (10, n_tiles*cap)

@@ -171,7 +171,10 @@ def rasterize_gaussians(
     if config.raster_impl == "pallas":
         from .raster_pallas import gather_tile_data, raster_tiles_pallas
 
-        pdata = gather_tile_data(means2d, conics, colors, opacities, table)
+        pdata = gather_tile_data(
+            means2d, conics, colors, opacities, table,
+            interpret=config.pallas_interpret,
+        )
         ranges_flat = binning.tile_ranges.reshape(n_tiles, 2)
         counts = jnp.clip(
             ranges_flat[:, 1] - ranges_flat[:, 0], 0, config.tile_capacity

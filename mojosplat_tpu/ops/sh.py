@@ -61,39 +61,40 @@ def eval_sh(
 
     norm = jnp.linalg.norm(dirs, axis=-1, keepdims=True)
     d = dirs / jnp.maximum(norm, 1e-12)
-    x, y, z = d[..., 0:1], d[..., 1:2], d[..., 2:3]  # (N, 1) for broadcasting
+    x, y, z = d[..., 0], d[..., 1], d[..., 2]  # (N,)
 
-    result = _C0 * sh_coeffs[..., 0, :]
+    # Evaluate the basis as one (N, K) matrix and contract once. The
+    # band-by-band slice-multiply-accumulate form makes reverse-mode AD pad
+    # every (N, C) band gradient back to (N, K, C) — ~46 coefficient-sized
+    # temporaries (4.4 GB at 500k gaussians, SH3); this form produces one.
+    one = jnp.ones_like(x)
+    basis = [_C0 * one]
     if degree >= 1:
-        result = (
-            result
-            - _C1 * y * sh_coeffs[..., 1, :]
-            + _C1 * z * sh_coeffs[..., 2, :]
-            - _C1 * x * sh_coeffs[..., 3, :]
-        )
+        basis += [-_C1 * y, _C1 * z, -_C1 * x]
     if degree >= 2:
         xx, yy, zz = x * x, y * y, z * z
         xy, yz, xz = x * y, y * z, x * z
-        result = (
-            result
-            + _C2[0] * xy * sh_coeffs[..., 4, :]
-            + _C2[1] * yz * sh_coeffs[..., 5, :]
-            + _C2[2] * (2.0 * zz - xx - yy) * sh_coeffs[..., 6, :]
-            + _C2[3] * xz * sh_coeffs[..., 7, :]
-            + _C2[4] * (xx - yy) * sh_coeffs[..., 8, :]
-        )
+        basis += [
+            _C2[0] * xy,
+            _C2[1] * yz,
+            _C2[2] * (2.0 * zz - xx - yy),
+            _C2[3] * xz,
+            _C2[4] * (xx - yy),
+        ]
     if degree >= 3:
-        result = (
-            result
-            + _C3[0] * y * (3.0 * xx - yy) * sh_coeffs[..., 9, :]
-            + _C3[1] * xy * z * sh_coeffs[..., 10, :]
-            + _C3[2] * y * (4.0 * zz - xx - yy) * sh_coeffs[..., 11, :]
-            + _C3[3] * z * (2.0 * zz - 3.0 * xx - 3.0 * yy) * sh_coeffs[..., 12, :]
-            + _C3[4] * x * (4.0 * zz - xx - yy) * sh_coeffs[..., 13, :]
-            + _C3[5] * z * (xx - yy) * sh_coeffs[..., 14, :]
-            + _C3[6] * x * (xx - 3.0 * yy) * sh_coeffs[..., 15, :]
-        )
-    return result
+        basis += [
+            _C3[0] * y * (3.0 * xx - yy),
+            _C3[1] * xy * z,
+            _C3[2] * y * (4.0 * zz - xx - yy),
+            _C3[3] * z * (2.0 * zz - 3.0 * xx - 3.0 * yy),
+            _C3[4] * x * (4.0 * zz - xx - yy),
+            _C3[5] * z * (xx - yy),
+            _C3[6] * x * (xx - 3.0 * yy),
+        ]
+    B = jnp.stack(basis, axis=-1)  # (N, needed)
+    return jnp.einsum(
+        "nk,nkc->nc", B, sh_coeffs[..., :len(basis), :]
+    )
 
 
 def sh_to_color(

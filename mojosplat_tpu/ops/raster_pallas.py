@@ -147,7 +147,7 @@ def _chunk_geometry(g, k, K, px, py, count, config):
     return alpha, keep, raw, e, dx, dy, ca, cb, cc, op, col
 
 
-def _fwd_kernel(counts_ref, pdata_ref, out_ref,
+def _fwd_kernel(counts_ref, pdata_ref, out_ref, thist_ref,
                 t_s, done_s, acc_s, *, K, P, ts, tw, config):
     # All loop state lives in VMEM scratch and chunk updates are predicated
     # (pl.when): branch carries of (P, 1) vectors blow up Mosaic's scf.if
@@ -161,6 +161,11 @@ def _fwd_kernel(counts_ref, pdata_ref, out_ref,
     t_s[...] = jnp.ones((P, 1), jnp.float32)
     done_s[...] = jnp.zeros((P, 1), jnp.float32)
     acc_s[...] = jnp.zeros((P, _CCOLS), jnp.float32)
+    # Per-chunk incoming transmittance, sign-packed with the done latch
+    # (T is always > 0): the residual the backward kernel replays instead of
+    # re-walking the tile forward. Default -1 = "all pixels done" so the
+    # backward skips chunks the forward never ran.
+    thist_ref[...] = jnp.full_like(thist_ref, -1.0)
 
     for k in range(cap // K):  # static unroll; every lane slice is static
         guard = (k * K < count) & (jnp.min(done_s[...]) == 0.0)
@@ -169,6 +174,7 @@ def _fwd_kernel(counts_ref, pdata_ref, out_ref,
         def _(k=k):
             t_in = t_s[...]
             done = done_s[...]
+            thist_ref[0, :, k : k + 1] = jnp.where(done == 0.0, t_in, -t_in)
             g = _chunk_rows(pdata_ref, k, K)
             alpha, *_rest = _chunk_geometry(
                 g, k, K, px, py, count, config
@@ -195,11 +201,12 @@ def _fwd_kernel(counts_ref, pdata_ref, out_ref,
     out_ref[0, :, :] = jnp.concatenate([acc_s[:, :3], t_s[...]], axis=1)
 
 
-def _bwd_kernel(counts_ref, pdata_ref, gout_ref,
+def _bwd_kernel(counts_ref, pdata_ref, gout_ref, thist_ref,
                 dpdata_ref,
-                t_s, done_s, gt_s, *hist_s, K, P, ts, tw, config):
+                gt_s, *, K, P, ts, tw, config):
     # Loop state in VMEM scratch + pl.when, same rationale as _fwd_kernel.
-    # hist_s holds 2 scratch refs per chunk: incoming T and incoming done.
+    # The forward saved each chunk's incoming transmittance sign-packed with
+    # the done latch, so there is no forward re-walk here: one reverse pass.
     t = pl.program_id(0)
     count = counts_ref[t]
     eps = config.transmittance_eps
@@ -209,37 +216,7 @@ def _bwd_kernel(counts_ref, pdata_ref, gout_ref,
 
     dpdata_ref[...] = jnp.zeros_like(dpdata_ref)
 
-    def chunk_guard(k, done):
-        return (k * K < count) & (jnp.min(done) == 0.0)
-
-    # ---- Phase 1: re-walk forward, recording per-chunk incoming state in
-    # VMEM scratch (the residuals the reference's kernel never saves).
-    t_s[...] = jnp.ones((P, 1), jnp.float32)
-    done_s[...] = jnp.zeros((P, 1), jnp.float32)
-    for k in range(nchunks_max):
-        hist_s[2 * k][...] = t_s[...]
-        hist_s[2 * k + 1][...] = done_s[...]
-
-        @pl.when(chunk_guard(k, done_s[...]))
-        def _(k=k):
-            t_in = t_s[...]
-            done = done_s[...]
-            g = _chunk_rows(pdata_ref, k, K)
-            alpha, *_rest = _chunk_geometry(
-                g, k, K, px, py, count, config
-            )
-            col = jax.lax.broadcasted_iota(jnp.int32, alpha.shape, 1)
-            cum = _lane_cumprod(1.0 - alpha, col, K)
-            t_after = t_in * cum
-            applied = (t_after > eps) & (done == 0.0)
-            eff = jnp.where(applied, alpha, 0.0)
-            cume = _lane_cumprod(1.0 - eff, col, K)
-            t_s[...] = t_in * cume[:, K - 1 : K]
-            done_s[...] = jnp.maximum(
-                done, (t_after[:, K - 1 : K] <= eps).astype(jnp.float32)
-            )
-
-    # ---- Phase 2: reverse chunk walk carrying the transmittance cotangent.
+    # ---- Reverse chunk walk carrying the transmittance cotangent.
     gout = gout_ref[0, :, :]  # (P, 4): cols 0..2 dL/drgb, col 3 dL/dT_final
     v = jnp.concatenate(
         [gout[:, :3], jnp.zeros((P, 1), jnp.float32)], axis=1
@@ -247,11 +224,12 @@ def _bwd_kernel(counts_ref, pdata_ref, gout_ref,
     gt_s[...] = gout[:, 3:4]
 
     for k in reversed(range(nchunks_max)):
+        th = thist_ref[0, :, k : k + 1]  # (P, 1) signed T_in
 
-        @pl.when(chunk_guard(k, hist_s[2 * k + 1][...]))
-        def _(k=k):
-            t_in = hist_s[2 * k][...]
-            done = hist_s[2 * k + 1][...]
+        @pl.when((k * K < count) & (jnp.max(th) > 0.0))
+        def _(k=k, th=th):
+            t_in = jnp.abs(th)
+            done = (th < 0.0).astype(jnp.float32)
             gt = gt_s[...]
             g = _chunk_rows(pdata_ref, k, K)
             alpha, keep, raw, e, dx, dy, ca, cb, cc, op, col = (
@@ -337,7 +315,7 @@ def raster_tiles_pallas(pdata, counts, ts, tw, config):
         final per-pixel transmittance (the value the reference discards,
         rasterization.py:124).
     """
-    return _raster_fwd_call(pdata, counts, ts, tw, config)
+    return _raster_fwd_call(pdata, counts, ts, tw, config)[0]
 
 
 def _raster_fwd_call(pdata, counts, ts, tw, config):
@@ -357,7 +335,10 @@ def _raster_fwd_call(pdata, counts, ts, tw, config):
         in_specs=[
             pl.BlockSpec((_PROWS, cap), lambda t, c: (0, t)),
         ],
-        out_specs=pl.BlockSpec((1, P, _CCOLS), lambda t, c: (t, 0, 0)),
+        out_specs=[
+            pl.BlockSpec((1, P, _CCOLS), lambda t, c: (t, 0, 0)),
+            pl.BlockSpec((1, P, cap // K), lambda t, c: (t, 0, 0)),
+        ],
         scratch_shapes=[
             pltpu.VMEM((P, 1), jnp.float32),  # t_s
             pltpu.VMEM((P, 1), jnp.float32),  # done_s
@@ -367,18 +348,21 @@ def _raster_fwd_call(pdata, counts, ts, tw, config):
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((n_tiles, P, _CCOLS), jnp.float32),
+        out_shape=[
+            jax.ShapeDtypeStruct((n_tiles, P, _CCOLS), jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles, P, cap // K), jnp.float32),
+        ],
         interpret=config.pallas_interpret,
     )(counts, pdata)
 
 
 def _raster_fwd_rule(pdata, counts, ts, tw, config):
-    out = _raster_fwd_call(pdata, counts, ts, tw, config)
-    return out, (pdata, counts)
+    out, thist = _raster_fwd_call(pdata, counts, ts, tw, config)
+    return out, (pdata, counts, thist)
 
 
 def _raster_bwd_rule(ts, tw, config, residuals, gout):
-    pdata, counts = residuals
+    pdata, counts, thist = residuals
     n_tiles = counts.shape[0]
     cap = pdata.shape[1] // n_tiles
     P = ts * ts
@@ -393,16 +377,11 @@ def _raster_bwd_rule(ts, tw, config, residuals, gout):
         in_specs=[
             pl.BlockSpec((_PROWS, cap), lambda t, c: (0, t)),
             pl.BlockSpec((1, P, _CCOLS), lambda t, c: (t, 0, 0)),
+            pl.BlockSpec((1, P, cap // K), lambda t, c: (t, 0, 0)),
         ],
         out_specs=pl.BlockSpec((_PROWS, cap), lambda t, c: (0, t)),
         scratch_shapes=[
-            pltpu.VMEM((P, 1), jnp.float32),  # t_s
-            pltpu.VMEM((P, 1), jnp.float32),  # done_s
             pltpu.VMEM((P, 1), jnp.float32),  # gt_s
-        ]
-        + [
-            pltpu.VMEM((P, 1), jnp.float32)  # hist_s: (T_in, done_in)/chunk
-            for _ in range(2 * (cap // K))
         ],
     )
     d_pdata = pl.pallas_call(
@@ -410,7 +389,7 @@ def _raster_bwd_rule(ts, tw, config, residuals, gout):
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((_PROWS, n_tiles * cap), jnp.float32),
         interpret=config.pallas_interpret,
-    )(counts, pdata, gout)
+    )(counts, pdata, gout, thist)
     d_counts = np.zeros(counts.shape, dtype=jax.dtypes.float0)
     return d_pdata, d_counts
 
@@ -465,7 +444,7 @@ def _gather_rows_bwd(interpret, res, g):
 _gather_rows.defvjp(_gather_rows_fwd, _gather_rows_bwd)
 
 
-def gather_tile_data(means2d, conics, colors, opacities, table,
+def gather_tile_data(means2d, conics, colors, opacities, slot_gids,
                      interpret=False):
     """Pack per-gaussian data into (N, 10) rows, gather by table, transpose.
 
@@ -489,7 +468,7 @@ def gather_tile_data(means2d, conics, colors, opacities, table,
         ],
         axis=-1,
     )  # (N, 10): x, y, ca, cb, cc, op, r, g, b, 0
-    safe = jnp.clip(table.reshape(-1), 0, N - 1)  # flat index: fastest form
-    # No validity masking: invalid (-1) slots only exist past each tile's
-    # count, and the kernels' count guard never reads them.
+    safe = jnp.clip(slot_gids.reshape(-1), 0, N - 1)
+    # No validity masking: invalid (-1 padding) slots only exist past each
+    # tile's count, and the kernels' count guard never reads them.
     return _gather_rows(packed, safe, interpret)  # (10, n_tiles*cap)

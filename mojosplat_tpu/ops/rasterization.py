@@ -165,20 +165,33 @@ def rasterize_gaussians(
     C = colors.shape[-1]
     dtype = colors.dtype
 
-    table, tile_overflow = build_tile_table(binning, config.tile_capacity)
-    table = jax.lax.stop_gradient(table)
-
     if config.raster_impl == "pallas":
         from .raster_pallas import gather_tile_data, raster_tiles_pallas
 
+        # Dense per-tile slot ids WITHOUT the scatter-built table: slot
+        # (t, j) of the table is just sorted entry start_t + j, so the ids
+        # come from one gather off the sorted list (the scatter build plus
+        # its rank gather cost ~52 ms/frame at 1080p).
+        cap = config.tile_capacity
+        ranges_flat = binning.tile_ranges.reshape(n_tiles, 2)
+        starts = ranges_flat[:, 0]
+        raw_counts = ranges_flat[:, 1] - ranges_flat[:, 0]
+        counts = jnp.clip(raw_counts, 0, cap).astype(jnp.int32)
+        tile_overflow = jnp.sum(jnp.maximum(raw_counts - cap, 0)).astype(
+            jnp.int32
+        )
+        capacity = binning.gaussian_ids.shape[0]
+        gidx = jnp.clip(
+            starts[:, None] + jnp.arange(cap, dtype=jnp.int32)[None, :],
+            0,
+            capacity - 1,
+        ).reshape(-1)
+        slot_gids = jax.lax.stop_gradient(binning.gaussian_ids)[gidx]
+
         pdata = gather_tile_data(
-            means2d, conics, colors, opacities, table,
+            means2d, conics, colors, opacities, slot_gids,
             interpret=config.pallas_interpret,
         )
-        ranges_flat = binning.tile_ranges.reshape(n_tiles, 2)
-        counts = jnp.clip(
-            ranges_flat[:, 1] - ranges_flat[:, 0], 0, config.tile_capacity
-        ).astype(jnp.int32)
         out = raster_tiles_pallas(pdata, counts, ts, tw, config)
         T_tiles = out[:, :, 3]
         out_tiles = (
@@ -199,6 +212,8 @@ def rasterize_gaussians(
         )
     if config.raster_impl != "xla":
         raise ValueError(f"Unknown raster_impl: {config.raster_impl!r}")
+    table, tile_overflow = build_tile_table(binning, config.tile_capacity)
+    table = jax.lax.stop_gradient(table)
     num_chunks = config.tile_capacity // K
     table_c = table.reshape(n_tiles, num_chunks, K)
 

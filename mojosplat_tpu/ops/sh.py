@@ -97,6 +97,12 @@ def eval_sh(
     )
 
 
+def rgb_to_sh0(rgb):
+    """Inverse of the band-0 rendering convention: coefficients whose
+    ``sh_to_color`` at degree 0 reproduces ``rgb`` (color = C0*sh + 0.5)."""
+    return (jnp.asarray(rgb) - 0.5) / _C0
+
+
 def sh_to_color(
     sh_coeffs: jax.Array,  # (N, K, C)
     means3d: jax.Array,  # (N, 3) world-space gaussian centers

@@ -1,7 +1,8 @@
-"""Utilities: image IO, metrics/timing, checkpointing."""
+"""Utilities: image IO, PLY scene IO, metrics/timing, checkpointing."""
 
 from .image import save_png, to_uint8
 from .metrics import StageTimer, compilation_count, log_render_aux
+from .ply import load_gaussian_ply, save_gaussian_ply
 
 __all__ = [
     "save_png",
@@ -9,4 +10,6 @@ __all__ = [
     "StageTimer",
     "compilation_count",
     "log_render_aux",
+    "load_gaussian_ply",
+    "save_gaussian_ply",
 ]

@@ -13,7 +13,22 @@ def to_uint8(image) -> np.ndarray:
 
 
 def save_png(image, path: str) -> None:
-    """Save a float (H, W, C) image to a PNG file."""
+    """Save a float (H, W, C) image to a PNG file.
+
+    Prefers the native C encoder (mojosplat_tpu/native); falls back to PIL.
+    """
+    arr = to_uint8(image)
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    from ..native import get_native
+
+    native = get_native()
+    if native is not None and arr.shape[2] in (1, 3, 4):
+        h, w, c = arr.shape
+        native.write_png(
+            path, h, w, c, np.ascontiguousarray(arr).tobytes()
+        )
+        return
     from PIL import Image
 
-    Image.fromarray(to_uint8(image)).save(path)
+    Image.fromarray(arr.squeeze()).save(path)

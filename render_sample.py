@@ -32,6 +32,12 @@ def main():
         "--impl", default="xla", choices=["xla", "pallas"],
         help="rasterizer implementation (pallas = TPU kernels)",
     )
+    ap.add_argument(
+        "--ply", default=None,
+        help="render a real 3DGS scene from a PLY file instead of the "
+        "random demo cloud",
+    )
+    ap.add_argument("--sh-degree", type=int, default=None)
     args = ap.parse_args()
 
     os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
@@ -49,17 +55,33 @@ def main():
         near=0.1, far=100.0,
     )
 
-    # Random scene, same distributions as the reference (render_sample.py:86-109).
-    key = jax.random.PRNGKey(args.seed)
-    k1, k2, k3, k4, k5 = jax.random.split(key, 5)
-    n = args.gaussians
-    print(f"Generating {n} random gaussians...")
-    means3d = jax.random.normal(k1, (n, 3)) * 2.0
-    log_scales = -2.0 + jax.random.normal(k2, (n, 3)) * 0.3
-    quats = jax.random.normal(k3, (n, 4))
-    quats /= jnp.linalg.norm(quats, axis=-1, keepdims=True)
-    opacities = jax.nn.sigmoid(jax.random.normal(k4, (n,)) + 1.0)
-    colors = jax.random.uniform(k5, (n, 3))
+    sh_degree = args.sh_degree
+    if args.ply is not None:
+        from mojosplat_tpu.utils import load_gaussian_ply
+
+        print(f"Loading 3DGS scene from {args.ply}...")
+        raw = load_gaussian_ply(args.ply)
+        means3d = jnp.asarray(raw["means3d"])
+        log_scales = jnp.asarray(raw["scales"])
+        quats = jnp.asarray(raw["quats"])
+        opacities = jax.nn.sigmoid(jnp.asarray(raw["opacities_raw"]))
+        colors = jnp.asarray(raw["features"])  # (N, K, 3) SH
+        if sh_degree is None:
+            sh_degree = int(round(colors.shape[1] ** 0.5)) - 1
+        print(f"  {means3d.shape[0]} gaussians, SH degree {sh_degree}")
+    else:
+        # Random scene, same distributions as the reference
+        # (render_sample.py:86-109).
+        key = jax.random.PRNGKey(args.seed)
+        k1, k2, k3, k4, k5 = jax.random.split(key, 5)
+        n = args.gaussians
+        print(f"Generating {n} random gaussians...")
+        means3d = jax.random.normal(k1, (n, 3)) * 2.0
+        log_scales = -2.0 + jax.random.normal(k2, (n, 3)) * 0.3
+        quats = jax.random.normal(k3, (n, 4))
+        quats /= jnp.linalg.norm(quats, axis=-1, keepdims=True)
+        opacities = jax.nn.sigmoid(jax.random.normal(k4, (n,)) + 1.0)
+        colors = jax.random.uniform(k5, (n, 3))
 
     # The random demo scene has near-camera gaussians spanning hundreds of
     # pixels; give them a generous tile-span budget (cheap at 10k gaussians —
@@ -73,6 +95,7 @@ def main():
     render = jax.jit(
         lambda m, s, q, o, c, cam: render_gaussians(
             m, s, q, o, c, cam,
+            sh_degree=sh_degree,
             background_color=jnp.array([0.1, 0.1, 0.1]),
             config=config,
         )

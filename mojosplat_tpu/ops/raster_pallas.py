@@ -432,11 +432,15 @@ def _gather_rows_bwd(interpret, res, g):
     from .segsum_pallas import segment_sum_cols
 
     safe, N = res
-    F = g.shape[0]
+    # Row _PROWS-1 is the zero pad column: its cotangent is identically zero
+    # and its destination slice in `packed` is discarded by the pack's
+    # autodiff, so don't pay sort/reduce bandwidth for it.
+    F = g.shape[0] - 1
     ops = jax.lax.sort(
         (safe,) + tuple(g[i] for i in range(F)), num_keys=1
     )
-    d_packed = segment_sum_cols(ops[1:], ops[0], N, interpret=interpret)
+    d9 = segment_sum_cols(ops[1:], ops[0], N, interpret=interpret)
+    d_packed = jnp.pad(d9, ((0, 0), (0, 1)))
     d_safe = np.zeros(safe.shape, dtype=jax.dtypes.float0)
     return d_packed, d_safe
 

@@ -147,7 +147,7 @@ def _chunk_geometry(g, k, K, px, py, count, config):
     return alpha, keep, raw, e, dx, dy, ca, cb, cc, op, col
 
 
-def _fwd_kernel(counts_ref, pdata_ref, out_ref, thist_ref,
+def _fwd_kernel(counts_ref, pdata_ref, out_ref, thist_ref, nhist_ref,
                 t_s, done_s, acc_s, *, K, P, ts, tw, config):
     # All loop state lives in VMEM scratch and chunk updates are predicated
     # (pl.when): branch carries of (P, 1) vectors blow up Mosaic's scf.if
@@ -164,8 +164,12 @@ def _fwd_kernel(counts_ref, pdata_ref, out_ref, thist_ref,
     # Per-chunk incoming transmittance, sign-packed with the done latch
     # (T is always > 0): the residual the backward kernel replays instead of
     # re-walking the tile forward. Default -1 = "all pixels done" so the
-    # backward skips chunks the forward never ran.
+    # backward skips chunks the forward never ran. nhist records how many
+    # lanes of the chunk were applied per pixel: T_after is monotone along
+    # lanes, so the applied mask is a prefix and one count reconstructs it —
+    # the backward then needs no cumprod of the original alphas at all.
     thist_ref[...] = jnp.full_like(thist_ref, -1.0)
+    nhist_ref[...] = jnp.zeros_like(nhist_ref)
 
     for k in range(cap // K):  # static unroll; every lane slice is static
         guard = (k * K < count) & (jnp.min(done_s[...]) == 0.0)
@@ -182,7 +186,11 @@ def _fwd_kernel(counts_ref, pdata_ref, out_ref, thist_ref,
             col = jax.lax.broadcasted_iota(jnp.int32, alpha.shape, 1)
             cum = _lane_cumprod(1.0 - alpha, col, K)
             t_after = t_in * cum
-            applied = (t_after > eps) & (done == 0.0)
+            alive = done == 0.0
+            applied = (t_after > eps) & alive
+            nhist_ref[0, :, k : k + 1] = jnp.sum(
+                applied.astype(jnp.float32), axis=1, keepdims=True
+            )
             eff = jnp.where(applied, alpha, 0.0)
             cume = _lane_cumprod(1.0 - eff, col, K)
             excl = _lane_excl(cume, col, 1.0)
@@ -201,7 +209,7 @@ def _fwd_kernel(counts_ref, pdata_ref, out_ref, thist_ref,
     out_ref[0, :, :] = jnp.concatenate([acc_s[:, :3], t_s[...]], axis=1)
 
 
-def _bwd_kernel(counts_ref, pdata_ref, gout_ref, thist_ref,
+def _bwd_kernel(counts_ref, pdata_ref, gout_ref, thist_ref, nhist_ref,
                 dpdata_ref,
                 gt_s, *, K, P, ts, tw, config):
     # Loop state in VMEM scratch + pl.when, same rationale as _fwd_kernel.
@@ -229,15 +237,15 @@ def _bwd_kernel(counts_ref, pdata_ref, gout_ref, thist_ref,
         @pl.when((k * K < count) & (jnp.max(th) > 0.0))
         def _(k=k, th=th):
             t_in = jnp.abs(th)
-            done = (th < 0.0).astype(jnp.float32)
             gt = gt_s[...]
             g = _chunk_rows(pdata_ref, k, K)
             alpha, keep, raw, e, dx, dy, ca, cb, cc, op, col = (
                 _chunk_geometry(g, k, K, px, py, count, config)
             )
-            cum = _lane_cumprod(1.0 - alpha, col, K)
-            t_after = t_in * cum
-            applied = (t_after > eps) & (done == 0.0)
+            # The applied mask is the per-pixel lane prefix the forward
+            # counted (T_after monotone along lanes), so no cumprod of the
+            # original alphas is needed here.
+            applied = col.astype(jnp.float32) < nhist_ref[0, :, k : k + 1]
             eff = jnp.where(applied, alpha, 0.0)
             ome = 1.0 - eff
             cume = _lane_cumprod(ome, col, K)
@@ -338,6 +346,7 @@ def _raster_fwd_call(pdata, counts, ts, tw, config):
         out_specs=[
             pl.BlockSpec((1, P, _CCOLS), lambda t, c: (t, 0, 0)),
             pl.BlockSpec((1, P, cap // K), lambda t, c: (t, 0, 0)),
+            pl.BlockSpec((1, P, cap // K), lambda t, c: (t, 0, 0)),
         ],
         scratch_shapes=[
             pltpu.VMEM((P, 1), jnp.float32),  # t_s
@@ -351,18 +360,19 @@ def _raster_fwd_call(pdata, counts, ts, tw, config):
         out_shape=[
             jax.ShapeDtypeStruct((n_tiles, P, _CCOLS), jnp.float32),
             jax.ShapeDtypeStruct((n_tiles, P, cap // K), jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles, P, cap // K), jnp.float32),
         ],
         interpret=config.pallas_interpret,
     )(counts, pdata)
 
 
 def _raster_fwd_rule(pdata, counts, ts, tw, config):
-    out, thist = _raster_fwd_call(pdata, counts, ts, tw, config)
-    return out, (pdata, counts, thist)
+    out, thist, nhist = _raster_fwd_call(pdata, counts, ts, tw, config)
+    return out, (pdata, counts, thist, nhist)
 
 
 def _raster_bwd_rule(ts, tw, config, residuals, gout):
-    pdata, counts, thist = residuals
+    pdata, counts, thist, nhist = residuals
     n_tiles = counts.shape[0]
     cap = pdata.shape[1] // n_tiles
     P = ts * ts
@@ -378,6 +388,7 @@ def _raster_bwd_rule(ts, tw, config, residuals, gout):
             pl.BlockSpec((_PROWS, cap), lambda t, c: (0, t)),
             pl.BlockSpec((1, P, _CCOLS), lambda t, c: (t, 0, 0)),
             pl.BlockSpec((1, P, cap // K), lambda t, c: (t, 0, 0)),
+            pl.BlockSpec((1, P, cap // K), lambda t, c: (t, 0, 0)),
         ],
         out_specs=pl.BlockSpec((_PROWS, cap), lambda t, c: (0, t)),
         scratch_shapes=[
@@ -389,7 +400,7 @@ def _raster_bwd_rule(ts, tw, config, residuals, gout):
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((_PROWS, n_tiles * cap), jnp.float32),
         interpret=config.pallas_interpret,
-    )(counts, pdata, gout, thist)
+    )(counts, pdata, gout, thist, nhist)
     d_counts = np.zeros(counts.shape, dtype=jax.dtypes.float0)
     return d_pdata, d_counts
 

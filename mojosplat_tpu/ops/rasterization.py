@@ -168,6 +168,12 @@ def rasterize_gaussians(
     if config.raster_impl == "pallas":
         from .raster_pallas import gather_tile_data, raster_tiles_pallas
 
+        if config.tile_capacity % config.pallas_chunk != 0:
+            raise ValueError(
+                f"tile_capacity {config.tile_capacity} % pallas_chunk "
+                f"{config.pallas_chunk} != 0"
+            )
+
         # Dense per-tile slot ids WITHOUT the scatter-built table: slot
         # (t, j) of the table is just sorted entry start_t + j, so the ids
         # come from one gather off the sorted list (the scatter build plus
@@ -180,13 +186,14 @@ def rasterize_gaussians(
         tile_overflow = jnp.sum(jnp.maximum(raw_counts - cap, 0)).astype(
             jnp.int32
         )
-        capacity = binning.gaussian_ids.shape[0]
-        gidx = jnp.clip(
-            starts[:, None] + jnp.arange(cap, dtype=jnp.int32)[None, :],
-            0,
-            capacity - 1,
-        ).reshape(-1)
-        slot_gids = jax.lax.stop_gradient(binning.gaussian_ids)[gidx]
+        from .slice_pallas import segment_slice_gather
+
+        slot_gids = segment_slice_gather(
+            jax.lax.stop_gradient(binning.gaussian_ids),
+            starts,
+            cap,
+            interpret=config.pallas_interpret,
+        )
 
         pdata = gather_tile_data(
             means2d, conics, colors, opacities, slot_gids,

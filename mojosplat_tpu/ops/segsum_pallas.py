@@ -109,7 +109,7 @@ def segment_sum_cols(cols, keys, num_segments, interpret=False):
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_windows,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec((_W, F), lambda w, b: (w, 0)),
         scratch_shapes=[
             pltpu.VMEM((_FPAD, _R), jnp.float32),  # DMA landing buffer

@@ -80,6 +80,9 @@ class RenderConfig:
     raster_impl: str = "xla"
     # Gaussians per Pallas chunk (the lane dimension of the blend).
     pallas_chunk: int = 128
+    # Tiles processed per Pallas grid step (amortizes per-step pipeline
+    # overhead; the tile axis is padded to a multiple of this).
+    pallas_tiles_per_step: int = 4
     # Run Pallas kernels in interpreter mode (CPU testing only).
     pallas_interpret: bool = False
 

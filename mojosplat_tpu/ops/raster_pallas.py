@@ -148,19 +148,17 @@ def _chunk_geometry(g, k, K, px, py, count, config):
 
 
 def _fwd_kernel(counts_ref, pdata_ref, out_ref, thist_ref, nhist_ref,
-                t_s, done_s, acc_s, *, K, P, ts, tw, config):
+                t_s, done_s, acc_s, *, K, P, ts, tw, tps, config):
     # All loop state lives in VMEM scratch and chunk updates are predicated
     # (pl.when): branch carries of (P, 1) vectors blow up Mosaic's scf.if
     # into dozens of vreg yields per chunk and crash the compiler.
-    t = pl.program_id(0)
-    count = counts_ref[t]
+    # Each grid step owns `tps` tiles to amortize per-step pipeline overhead
+    # (8160 single-tile steps at 1080p spend more time stepping than
+    # computing).
+    tt = pl.program_id(0)
     eps = config.transmittance_eps
-    cap = pdata_ref.shape[1]
-    px, py = _tile_pixel_centers(t, ts, tw, P)
+    cap = pdata_ref.shape[1] // tps
 
-    t_s[...] = jnp.ones((P, 1), jnp.float32)
-    done_s[...] = jnp.zeros((P, 1), jnp.float32)
-    acc_s[...] = jnp.zeros((P, _CCOLS), jnp.float32)
     # Per-chunk incoming transmittance, sign-packed with the done latch
     # (T is always > 0): the residual the backward kernel replays instead of
     # re-walking the tile forward. Default -1 = "all pixels done" so the
@@ -171,138 +169,159 @@ def _fwd_kernel(counts_ref, pdata_ref, out_ref, thist_ref, nhist_ref,
     thist_ref[...] = jnp.full_like(thist_ref, -1.0)
     nhist_ref[...] = jnp.zeros_like(nhist_ref)
 
-    for k in range(cap // K):  # static unroll; every lane slice is static
-        guard = (k * K < count) & (jnp.min(done_s[...]) == 0.0)
+    for i in range(tps):
+        t = tt * tps + i
+        count = counts_ref[t]
+        px, py = _tile_pixel_centers(t, ts, tw, P)
 
-        @pl.when(guard)
-        def _(k=k):
-            t_in = t_s[...]
-            done = done_s[...]
-            thist_ref[0, :, k : k + 1] = jnp.where(done == 0.0, t_in, -t_in)
-            g = _chunk_rows(pdata_ref, k, K)
-            alpha, *_rest = _chunk_geometry(
-                g, k, K, px, py, count, config
-            )
-            col = jax.lax.broadcasted_iota(jnp.int32, alpha.shape, 1)
-            cum = _lane_cumprod(1.0 - alpha, col, K)
-            t_after = t_in * cum
-            alive = done == 0.0
-            applied = (t_after > eps) & alive
-            nhist_ref[0, :, k : k + 1] = jnp.sum(
-                applied.astype(jnp.float32), axis=1, keepdims=True
-            )
-            eff = jnp.where(applied, alpha, 0.0)
-            cume = _lane_cumprod(1.0 - eff, col, K)
-            excl = _lane_excl(cume, col, 1.0)
-            w = eff * t_in * excl  # (P, K)
+        t_s[...] = jnp.ones((P, 1), jnp.float32)
+        done_s[...] = jnp.zeros((P, 1), jnp.float32)
+        acc_s[...] = jnp.zeros((P, _CCOLS), jnp.float32)
 
-            cols_t = g[6:10, :]  # (4, K) rgb + zero pad row
-            acc_s[...] = acc_s[...] + jax.lax.dot_general(
-                w, cols_t, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            t_s[...] = t_in * cume[:, K - 1 : K]
-            done_s[...] = jnp.maximum(
-                done, (t_after[:, K - 1 : K] <= eps).astype(jnp.float32)
-            )
+        for k in range(cap // K):  # static unroll; static lane slices
+            guard = (k * K < count) & (jnp.min(done_s[...]) == 0.0)
 
-    out_ref[0, :, :] = jnp.concatenate([acc_s[:, :3], t_s[...]], axis=1)
+            @pl.when(guard)
+            def _(k=k, i=i, count=count, px=px, py=py):
+                t_in = t_s[...]
+                done = done_s[...]
+                thist_ref[i, :, k : k + 1] = jnp.where(
+                    done == 0.0, t_in, -t_in
+                )
+                g = _chunk_rows(pdata_ref, i * (cap // K) + k, K)
+                alpha, *_rest = _chunk_geometry(
+                    g, k, K, px, py, count, config
+                )
+                col = jax.lax.broadcasted_iota(jnp.int32, alpha.shape, 1)
+                cum = _lane_cumprod(1.0 - alpha, col, K)
+                t_after = t_in * cum
+                alive = done == 0.0
+                applied = (t_after > eps) & alive
+                nhist_ref[i, :, k : k + 1] = jnp.sum(
+                    applied.astype(jnp.float32), axis=1, keepdims=True
+                )
+                eff = jnp.where(applied, alpha, 0.0)
+                cume = _lane_cumprod(1.0 - eff, col, K)
+                excl = _lane_excl(cume, col, 1.0)
+                w = eff * t_in * excl  # (P, K)
+
+                cols_t = g[6:10, :]  # (4, K) rgb + zero pad row
+                acc_s[...] = acc_s[...] + jax.lax.dot_general(
+                    w, cols_t, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                t_s[...] = t_in * cume[:, K - 1 : K]
+                done_s[...] = jnp.maximum(
+                    done,
+                    (t_after[:, K - 1 : K] <= eps).astype(jnp.float32),
+                )
+
+        out_ref[i, :, :] = jnp.concatenate(
+            [acc_s[:, :3], t_s[...]], axis=1
+        )
 
 
 def _bwd_kernel(counts_ref, pdata_ref, gout_ref, thist_ref, nhist_ref,
                 dpdata_ref,
-                gt_s, *, K, P, ts, tw, config):
+                gt_s, *, K, P, ts, tw, tps, config):
     # Loop state in VMEM scratch + pl.when, same rationale as _fwd_kernel.
     # The forward saved each chunk's incoming transmittance sign-packed with
     # the done latch, so there is no forward re-walk here: one reverse pass.
-    t = pl.program_id(0)
-    count = counts_ref[t]
+    tt = pl.program_id(0)
     eps = config.transmittance_eps
-    cap = pdata_ref.shape[1]
+    cap = pdata_ref.shape[1] // tps
     nchunks_max = cap // K
-    px, py = _tile_pixel_centers(t, ts, tw, P)
 
     dpdata_ref[...] = jnp.zeros_like(dpdata_ref)
 
-    # ---- Reverse chunk walk carrying the transmittance cotangent.
-    gout = gout_ref[0, :, :]  # (P, 4): cols 0..2 dL/drgb, col 3 dL/dT_final
-    v = jnp.concatenate(
-        [gout[:, :3], jnp.zeros((P, 1), jnp.float32)], axis=1
-    )  # color cotangent with the T column zeroed
-    gt_s[...] = gout[:, 3:4]
+    for i in range(tps):
+        t = tt * tps + i
+        count = counts_ref[t]
+        px, py = _tile_pixel_centers(t, ts, tw, P)
 
-    for k in reversed(range(nchunks_max)):
-        th = thist_ref[0, :, k : k + 1]  # (P, 1) signed T_in
+        # ---- Reverse chunk walk carrying the transmittance cotangent.
+        gout = gout_ref[i, :, :]  # (P, 4): 0..2 dL/drgb, 3 dL/dT_final
+        v = jnp.concatenate(
+            [gout[:, :3], jnp.zeros((P, 1), jnp.float32)], axis=1
+        )  # color cotangent with the T column zeroed
+        gt_s[...] = gout[:, 3:4]
 
-        @pl.when((k * K < count) & (jnp.max(th) > 0.0))
-        def _(k=k, th=th):
-            t_in = jnp.abs(th)
-            gt = gt_s[...]
-            g = _chunk_rows(pdata_ref, k, K)
-            alpha, keep, raw, e, dx, dy, ca, cb, cc, op, col = (
-                _chunk_geometry(g, k, K, px, py, count, config)
-            )
-            # The applied mask is the per-pixel lane prefix the forward
-            # counted (T_after monotone along lanes), so no cumprod of the
-            # original alphas is needed here.
-            applied = col.astype(jnp.float32) < nhist_ref[0, :, k : k + 1]
-            eff = jnp.where(applied, alpha, 0.0)
-            ome = 1.0 - eff
-            cume = _lane_cumprod(ome, col, K)
-            excl = _lane_excl(cume, col, 1.0)
-            t_before = t_in * excl  # (P, K)
-            w = eff * t_before
-            t_out = t_in * cume[:, K - 1 : K]
+        for k in reversed(range(nchunks_max)):
+            th = thist_ref[i, :, k : k + 1]  # (P, 1) signed T_in
 
-            cols_t = g[6:10, :]  # (4, K) rgb + zero pad row
-            # cv[p, j] = sum_c v[p, c] * cols_t[c, j]
-            cv = jax.lax.dot_general(
-                v, cols_t, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )  # (P, K)
+            @pl.when((k * K < count) & (jnp.max(th) > 0.0))
+            def _(k=k, i=i, th=th, v=v, count=count, px=px, py=py):
+                t_in = jnp.abs(th)
+                gt = gt_s[...]
+                g = _chunk_rows(pdata_ref, i * nchunks_max + k, K)
+                alpha, keep, raw, e, dx, dy, ca, cb, cc, op, col = (
+                    _chunk_geometry(g, k, K, px, py, count, config)
+                )
+                # The applied mask is the per-pixel lane prefix the forward
+                # counted (T_after monotone along lanes), so no cumprod of
+                # the original alphas is needed here.
+                applied = (
+                    col.astype(jnp.float32) < nhist_ref[i, :, k : k + 1]
+                )
+                eff = jnp.where(applied, alpha, 0.0)
+                ome = 1.0 - eff
+                cume = _lane_cumprod(ome, col, K)
+                excl = _lane_excl(cume, col, 1.0)
+                t_before = t_in * excl  # (P, K)
+                w = eff * t_before
+                t_out = t_in * cume[:, K - 1 : K]
 
-            # d cols_t[c, j] = sum_p v[p, c] * w[p, j]
-            d_cols_t = jax.lax.dot_general(
-                v, w, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )  # (4, K)
+                cols_t = g[6:10, :]  # (4, K) rgb + zero pad row
+                # cv[p, j] = sum_c v[p, c] * cols_t[c, j]
+                cv = jax.lax.dot_general(
+                    v, cols_t, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # (P, K)
 
-            q = w * cv  # (P, K)
-            S = _lane_rev_cumsum_excl(q, col, K)
-            d_eff = cv * t_before - (S + gt * t_out) / ome
-            d_alpha = jnp.where(applied, d_eff, 0.0)
-            d_raw = jnp.where(keep & (raw < config.max_alpha), d_alpha, 0.0)
+                # d cols_t[c, j] = sum_p v[p, c] * w[p, j]
+                d_cols_t = jax.lax.dot_general(
+                    v, w, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # (4, K)
 
-            d_op = d_raw * e
-            d_sigma = -d_raw * raw
-            d_ca = 0.5 * dx * dx * d_sigma
-            d_cc = 0.5 * dy * dy * d_sigma
-            d_cb = dx * dy * d_sigma
-            d_dx = (ca * dx + cb * dy) * d_sigma
-            d_dy = (cc * dy + cb * dx) * d_sigma
+                q = w * cv  # (P, K)
+                S = _lane_rev_cumsum_excl(q, col, K)
+                d_eff = cv * t_before - (S + gt * t_out) / ome
+                d_alpha = jnp.where(applied, d_eff, 0.0)
+                d_raw = jnp.where(
+                    keep & (raw < config.max_alpha), d_alpha, 0.0
+                )
 
-            # Reduce over pixels (sublanes) -> per-gaussian rows (1, K),
-            # assemble the (10, K) gradient block, transpose back to the
-            # HBM slot-major layout, write the chunk's slice.
-            d_g = jnp.concatenate(
-                [
-                    jnp.sum(d_dx, axis=0, keepdims=True),
-                    jnp.sum(d_dy, axis=0, keepdims=True),
-                    jnp.sum(d_ca, axis=0, keepdims=True),
-                    jnp.sum(d_cb, axis=0, keepdims=True),
-                    jnp.sum(d_cc, axis=0, keepdims=True),
-                    jnp.sum(d_op, axis=0, keepdims=True),
-                    d_cols_t,
-                ],
-                axis=0,
-            )  # (10, K)
-            dpdata_ref[:, k * K : (k + 1) * K] = d_g
+                d_op = d_raw * e
+                d_sigma = -d_raw * raw
+                d_ca = 0.5 * dx * dx * d_sigma
+                d_cc = 0.5 * dy * dy * d_sigma
+                d_cb = dx * dy * d_sigma
+                d_dx = (ca * dx + cb * dy) * d_sigma
+                d_dy = (cc * dy + cb * dx) * d_sigma
 
-            # dL/dT_in = sum_j eff_j excl_j cv_j + gT_out * prod(1 - eff).
-            gt_s[...] = (
-                jnp.sum(eff * excl * cv, axis=1, keepdims=True)
-                + gt * cume[:, K - 1 : K]
-            )
+                # Reduce over pixels (sublanes) -> per-gaussian rows (1, K),
+                # assemble the (10, K) gradient block, write its slice.
+                d_g = jnp.concatenate(
+                    [
+                        jnp.sum(d_dx, axis=0, keepdims=True),
+                        jnp.sum(d_dy, axis=0, keepdims=True),
+                        jnp.sum(d_ca, axis=0, keepdims=True),
+                        jnp.sum(d_cb, axis=0, keepdims=True),
+                        jnp.sum(d_cc, axis=0, keepdims=True),
+                        jnp.sum(d_op, axis=0, keepdims=True),
+                        d_cols_t,
+                    ],
+                    axis=0,
+                )  # (10, K)
+                sl0 = (i * nchunks_max + k) * K
+                dpdata_ref[:, sl0 : sl0 + K] = d_g
+
+                # dL/dT_in = sum_j eff_j excl_j cv_j + gT * prod(1 - eff).
+                gt_s[...] = (
+                    jnp.sum(eff * excl * cv, axis=1, keepdims=True)
+                    + gt * cume[:, K - 1 : K]
+                )
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
@@ -326,27 +345,41 @@ def raster_tiles_pallas(pdata, counts, ts, tw, config):
     return _raster_fwd_call(pdata, counts, ts, tw, config)[0]
 
 
+def _pad_tiles(pdata, counts, cap, tps):
+    """Pad the tile axis to a multiple of tiles-per-step (count 0 tiles are
+    skipped by the chunk guard, so pad content is never read)."""
+    n_tiles = counts.shape[0]
+    n_pad = -(-n_tiles // tps) * tps
+    if n_pad != n_tiles:
+        counts = jnp.pad(counts, (0, n_pad - n_tiles))
+        pdata = jnp.pad(pdata, ((0, 0), (0, (n_pad - n_tiles) * cap)))
+    return pdata, counts, n_pad
+
+
 def _raster_fwd_call(pdata, counts, ts, tw, config):
     n_tiles = counts.shape[0]
     cap = pdata.shape[1] // n_tiles
     P = ts * ts
     K = config.pallas_chunk
+    tps = config.pallas_tiles_per_step
     if cap % K != 0:
         raise ValueError(f"tile_capacity {cap} % pallas_chunk {K} != 0")
+    pdata, counts, n_pad = _pad_tiles(pdata, counts, cap, tps)
+    nc = cap // K
 
     kernel = functools.partial(
-        _fwd_kernel, K=K, P=P, ts=ts, tw=tw, config=config
+        _fwd_kernel, K=K, P=P, ts=ts, tw=tw, tps=tps, config=config
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(n_tiles,),
+        grid=(n_pad // tps,),
         in_specs=[
-            pl.BlockSpec((_PROWS, cap), lambda t, c: (0, t)),
+            pl.BlockSpec((_PROWS, tps * cap), lambda t, c: (0, t)),
         ],
         out_specs=[
-            pl.BlockSpec((1, P, _CCOLS), lambda t, c: (t, 0, 0)),
-            pl.BlockSpec((1, P, cap // K), lambda t, c: (t, 0, 0)),
-            pl.BlockSpec((1, P, cap // K), lambda t, c: (t, 0, 0)),
+            pl.BlockSpec((tps, P, _CCOLS), lambda t, c: (t, 0, 0)),
+            pl.BlockSpec((tps, P, nc), lambda t, c: (t, 0, 0)),
+            pl.BlockSpec((tps, P, nc), lambda t, c: (t, 0, 0)),
         ],
         scratch_shapes=[
             pltpu.VMEM((P, 1), jnp.float32),  # t_s
@@ -354,16 +387,17 @@ def _raster_fwd_call(pdata, counts, ts, tw, config):
             pltpu.VMEM((P, _CCOLS), jnp.float32),  # acc_s
         ],
     )
-    return pl.pallas_call(
+    out, thist, nhist = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((n_tiles, P, _CCOLS), jnp.float32),
-            jax.ShapeDtypeStruct((n_tiles, P, cap // K), jnp.float32),
-            jax.ShapeDtypeStruct((n_tiles, P, cap // K), jnp.float32),
+            jax.ShapeDtypeStruct((n_pad, P, _CCOLS), jnp.float32),
+            jax.ShapeDtypeStruct((n_pad, P, nc), jnp.float32),
+            jax.ShapeDtypeStruct((n_pad, P, nc), jnp.float32),
         ],
         interpret=config.pallas_interpret,
     )(counts, pdata)
+    return out[:n_tiles], thist, nhist
 
 
 def _raster_fwd_rule(pdata, counts, ts, tw, config):
@@ -377,20 +411,26 @@ def _raster_bwd_rule(ts, tw, config, residuals, gout):
     cap = pdata.shape[1] // n_tiles
     P = ts * ts
     K = config.pallas_chunk
+    tps = config.pallas_tiles_per_step
+    pdata, counts, n_pad = _pad_tiles(pdata, counts, cap, tps)
+    nc = cap // K
+    if n_pad != n_tiles:
+        gout = jnp.pad(gout, ((0, n_pad - n_tiles), (0, 0), (0, 0)))
+    # thist/nhist come from the forward already padded to n_pad.
 
     kernel = functools.partial(
-        _bwd_kernel, K=K, P=P, ts=ts, tw=tw, config=config
+        _bwd_kernel, K=K, P=P, ts=ts, tw=tw, tps=tps, config=config
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(n_tiles,),
+        grid=(n_pad // tps,),
         in_specs=[
-            pl.BlockSpec((_PROWS, cap), lambda t, c: (0, t)),
-            pl.BlockSpec((1, P, _CCOLS), lambda t, c: (t, 0, 0)),
-            pl.BlockSpec((1, P, cap // K), lambda t, c: (t, 0, 0)),
-            pl.BlockSpec((1, P, cap // K), lambda t, c: (t, 0, 0)),
+            pl.BlockSpec((_PROWS, tps * cap), lambda t, c: (0, t)),
+            pl.BlockSpec((tps, P, _CCOLS), lambda t, c: (t, 0, 0)),
+            pl.BlockSpec((tps, P, nc), lambda t, c: (t, 0, 0)),
+            pl.BlockSpec((tps, P, nc), lambda t, c: (t, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((_PROWS, cap), lambda t, c: (0, t)),
+        out_specs=pl.BlockSpec((_PROWS, tps * cap), lambda t, c: (0, t)),
         scratch_shapes=[
             pltpu.VMEM((P, 1), jnp.float32),  # gt_s
         ],
@@ -398,9 +438,10 @@ def _raster_bwd_rule(ts, tw, config, residuals, gout):
     d_pdata = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((_PROWS, n_tiles * cap), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((_PROWS, n_pad * cap), jnp.float32),
         interpret=config.pallas_interpret,
     )(counts, pdata, gout, thist, nhist)
+    d_pdata = d_pdata[:, : n_tiles * cap]
     d_counts = np.zeros(counts.shape, dtype=jax.dtypes.float0)
     return d_pdata, d_counts
 

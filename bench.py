@@ -96,6 +96,8 @@ def main():
     ap.add_argument("--mode", choices=["fwd", "fwdbwd"], default="fwdbwd")
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--impl", default="pallas", choices=["xla", "pallas"])
+    ap.add_argument("--bf16-grads", action="store_true",
+                    help="route per-slot gradients in bf16 (faster backward)")
     args = ap.parse_args()
 
     config = RenderConfig(
@@ -105,6 +107,7 @@ def main():
         max_tile_span=8,
         raster_impl=args.impl,
         pallas_chunk=128,
+        grad_route_bf16=args.bf16_grads,
     )
     sh = args.sh_degree if args.sh_degree >= 0 else None
     fn, fn1, params, camera = build_loop(

@@ -198,6 +198,7 @@ def rasterize_gaussians(
         pdata = gather_tile_data(
             means2d, conics, colors, opacities, slot_gids,
             interpret=config.pallas_interpret,
+            route_bf16=config.grad_route_bf16,
         )
         out = raster_tiles_pallas(pdata, counts, ts, tw, config)
         T_tiles = out[:, :, 3]

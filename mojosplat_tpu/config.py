@@ -84,9 +84,12 @@ class RenderConfig:
     # overhead; the tile axis is padded to a multiple of this).
     pallas_tiles_per_step: int = 4
     # Route per-slot gradients through the payload sort in bfloat16: halves
-    # the dominant sort traffic in the backward pass for ~0.4% relative
-    # quantization noise on individual gradient terms (the reduction still
-    # accumulates in f32). Off by default for exact oracle parity.
+    # the dominant sort traffic in the backward pass. Measured on TPU the
+    # results stay bit-identical to the f32 route (XLA's
+    # allow-excess-precision rules keep the surrounding converts exact)
+    # while the step gets ~3% faster; in interpret/CPU mode the converts
+    # execute literally and introduce ~0.4% per-term quantization. Off by
+    # default.
     grad_route_bf16: bool = False
     # Run Pallas kernels in interpreter mode (CPU testing only).
     pallas_interpret: bool = False

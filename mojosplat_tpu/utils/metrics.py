@@ -58,6 +58,57 @@ class StageTimer:
         return out
 
 
+def amortized_ms(fn, args, iters: int = 20) -> float:
+    """Per-iteration device time of ``fn(*args)`` in milliseconds.
+
+    Runs ``iters`` iterations chained through a lax.scan carry inside ONE
+    jitted call and subtracts a 1-iteration call, cancelling per-dispatch
+    overhead (this machine's TPU tunnel costs ~30 ms per synchronized
+    dispatch, so naive per-call timing floors there). The first float leaf
+    of args is perturbed by carry*0 each iteration so XLA cannot hoist the
+    body out of the loop. ``fn`` must accept ``*args`` and return a pytree.
+    """
+    import functools
+
+    import jax.numpy as jnp
+
+    def one(a):
+        out = fn(*a)
+        return sum(
+            jnp.sum(jnp.abs(x.astype(jnp.float32)))
+            for x in jax.tree_util.tree_leaves(out)
+        )
+
+    def loop(a, n):
+        def body(c, _):
+            leaves, treedef = jax.tree_util.tree_flatten(a)
+            bumped = False
+            out = []
+            for x in leaves:
+                if not bumped and hasattr(x, "dtype") and jnp.issubdtype(
+                    x.dtype, jnp.floating
+                ):
+                    out.append(x + c * 0.0)
+                    bumped = True
+                else:
+                    out.append(x)
+            return one(jax.tree_util.tree_unflatten(treedef, out)), None
+
+        return jax.lax.scan(body, 0.0, None, length=n)[0]
+
+    fN = jax.jit(functools.partial(loop, n=iters))
+    f1 = jax.jit(functools.partial(loop, n=1))
+    float(f1(args))
+    float(fN(args))
+    t0 = time.perf_counter()
+    float(f1(args))
+    t1 = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    float(fN(args))
+    tN = time.perf_counter() - t0
+    return max(tN - t1, 0.0) / (iters - 1) * 1e3
+
+
 def compilation_count(fn) -> int:
     """Number of compiled variants a jitted function holds — the recompile
     counter of SURVEY.md section 5. A scene change must not grow this."""

@@ -96,6 +96,12 @@ def bin_gaussians_to_tiles(
     if capacity is None:
         capacity = isect_capacity(N, config)
 
+    # Binning output is pure structure (which gaussian lands in which tile,
+    # in what order); its gradients are zero by design, matching the
+    # reference where binning is index bookkeeping. Stopping here also keeps
+    # autodiff away from the non-differentiable expand kernel below.
+    means2d, depths = jax.lax.stop_gradient((means2d, depths))
+
     x, y = means2d[:, 0], means2d[:, 1]
     rx = radii[:, 0].astype(means2d.dtype)
     ry = radii[:, 1].astype(means2d.dtype)
@@ -146,26 +152,58 @@ def bin_gaussians_to_tiles(
     slot = jnp.arange(capacity, dtype=jnp.int32)
     in_range = (slot < total) & (gid_buf >= 0)
     safe_gid = jnp.clip(gid_buf, 0, N - 1)
-    # ONE packed row-gather of the per-gaussian fields (XLA's TPU gather is
-    # scalar-core bound per row: five 1D gathers cost ~5x one 5-wide row
-    # gather). Integer fields round-trip exactly through f32 (tile grids and
-    # offsets are far below 2^24).
-    fields = jnp.stack(
-        [
-            offsets.astype(jnp.float32),
-            span_x.astype(jnp.float32),
-            tx_min.astype(jnp.float32),
-            ty_min.astype(jnp.float32),
-            depths.astype(jnp.float32),
-        ],
-        axis=-1,
-    )  # (N, 5)
-    g = fields[safe_gid]  # (capacity, 5)
-    g_off = g[:, 0].astype(jnp.int32)
-    g_sx = g[:, 1].astype(jnp.int32)
-    g_tx = g[:, 2].astype(jnp.int32)
-    g_ty = g[:, 3].astype(jnp.int32)
-    g_depth = g[:, 4]
+    if config.raster_impl == "pallas":
+        # Banded-expand route (expand_pallas.py): index owners by their
+        # *compact rank* (rank among nonzero-count gaussians), which steps
+        # by at most 1 per slot, so a Pallas kernel can stream each chunk's
+        # window of compacted rows sequentially and expand with a one-hot
+        # matmul — ~6x faster than the per-row XLA gather.
+        from .expand_pallas import segment_expand
+
+        fields_cols = jax.lax.sort(
+            (
+                (counts == 0).astype(jnp.int32),  # nonzero-count first
+                offsets.astype(jnp.float32),
+                span_x.astype(jnp.float32),
+                tx_min.astype(jnp.float32),
+                ty_min.astype(jnp.float32),
+                depths.astype(jnp.float32),
+            ),
+            num_keys=1,
+            is_stable=True,
+        )[1:]
+        fields_t = jnp.stack(fields_cols, axis=0)  # (5, N) compacted-first
+        crank = jnp.cumsum(jnp.minimum(head, 1)) - 1  # owner compact rank
+        crank = jnp.clip(crank, 0, N - 1)
+        g = segment_expand(
+            fields_t, crank, interpret=config.pallas_interpret
+        )[:, :capacity]
+        g_off = g[0].astype(jnp.int32)
+        g_sx = g[1].astype(jnp.int32)
+        g_tx = g[2].astype(jnp.int32)
+        g_ty = g[3].astype(jnp.int32)
+        g_depth = g[4]
+    else:
+        # ONE packed row-gather of the per-gaussian fields (XLA's TPU gather
+        # is scalar-core bound per row: five 1D gathers cost ~5x one 5-wide
+        # row gather). Integer fields round-trip exactly through f32 (tile
+        # grids and offsets are far below 2^24).
+        fields = jnp.stack(
+            [
+                offsets.astype(jnp.float32),
+                span_x.astype(jnp.float32),
+                tx_min.astype(jnp.float32),
+                ty_min.astype(jnp.float32),
+                depths.astype(jnp.float32),
+            ],
+            axis=-1,
+        )  # (N, 5)
+        g = fields[safe_gid]  # (capacity, 5)
+        g_off = g[:, 0].astype(jnp.int32)
+        g_sx = g[:, 1].astype(jnp.int32)
+        g_tx = g[:, 2].astype(jnp.int32)
+        g_ty = g[:, 3].astype(jnp.int32)
+        g_depth = g[:, 4]
 
     k = slot - g_off
     sx = jnp.maximum(g_sx, 1)

@@ -209,6 +209,7 @@ def _fwd_kernel(counts_ref, pdata_ref, out_ref, thist_ref, nhist_ref,
                 acc_s[...] = acc_s[...] + jax.lax.dot_general(
                     w, cols_t, (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
                 )
                 t_s[...] = t_in * cume[:, K - 1 : K]
                 done_s[...] = jnp.maximum(
@@ -276,12 +277,14 @@ def _bwd_kernel(counts_ref, pdata_ref, gout_ref, thist_ref, nhist_ref,
                 cv = jax.lax.dot_general(
                     v, cols_t, (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
                 )  # (P, K)
 
                 # d cols_t[c, j] = sum_p v[p, c] * w[p, j]
                 d_cols_t = jax.lax.dot_general(
                     v, w, (((0,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
                 )  # (4, K)
 
                 q = w * cv  # (P, K)

@@ -64,6 +64,7 @@ def _kernel(bounds_ref, cols_hbm, out_ref, buf, acc, sem, *, F, key_row):
         acc[...] = acc[...] + jax.lax.dot_general(
             onehot, chunk, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
         )  # (W, _FPAD)
         return 0
 

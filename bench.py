@@ -87,8 +87,24 @@ def previous_round_value(metric: str) -> float | None:
     return best
 
 
+# BASELINE.md measurement configs (1-4 single chip; 5 is the sharded
+# training step, exercised by __graft_entry__.dryrun_multichip / the
+# sharding tests since one local chip cannot host a mesh).
+PRESETS = {
+    1: dict(gaussians=1_000, height=256, width=256, sh_degree=-1, mode="fwd"),
+    2: dict(gaussians=100_000, height=600, width=800, sh_degree=-1,
+            mode="fwd"),
+    3: dict(gaussians=100_000, height=600, width=800, sh_degree=-1,
+            mode="fwdbwd"),
+    4: dict(gaussians=1_000_000, height=1080, width=1920, sh_degree=3,
+            mode="fwdbwd"),
+}
+
+
 def main():
     ap = argparse.ArgumentParser()
+    ap.add_argument("--preset", type=int, choices=sorted(PRESETS),
+                    help="BASELINE.md measurement config number")
     ap.add_argument("--gaussians", type=int, default=1_000_000)
     ap.add_argument("--height", type=int, default=1080)
     ap.add_argument("--width", type=int, default=1920)
@@ -103,6 +119,9 @@ def main():
         "excess-precision rules, ~3%% faster backward)",
     )
     args = ap.parse_args()
+    if args.preset is not None:
+        for k, v in PRESETS[args.preset].items():
+            setattr(args, k.replace("-", "_"), v)
 
     config = RenderConfig(
         tile_capacity=512,

@@ -48,6 +48,7 @@ def render_gaussians(
     config: RenderConfig = DEFAULT_CONFIG,
     return_aux: bool = False,
     viewport_rows: tuple[jax.Array | int, int] | None = None,
+    means2d_offset: jax.Array | None = None,
 ):
     """Render 3D gaussians to an (H, W, C) image.
 
@@ -96,6 +97,12 @@ def render_gaussians(
         )
 
     proj = project_gaussians(means3d, scales, quats, opacities, camera, config)
+
+    if means2d_offset is not None:
+        # A zero (N, 2) parameter whose cotangent is the view-space
+        # positional gradient — the densification statistic of 3DGS
+        # training (densify.py accumulates its norm).
+        proj = proj._replace(means2d=proj.means2d + means2d_offset)
 
     if viewport_rows is None:
         means2d, out_h = proj.means2d, camera.H

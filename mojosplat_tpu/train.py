@@ -114,6 +114,64 @@ def train_step(
     return TrainState(params, opt_state, state.step + 1), loss
 
 
+def train_step_with_densify_stats(
+    state: TrainState,
+    densify_state,
+    cameras: Camera,  # batched over leading axis B
+    targets: jax.Array,  # (B, H, W, C)
+    optimizer: optax.GradientTransformation,
+    sh_degree: int | None = None,
+    config: RenderConfig = DEFAULT_CONFIG,
+):
+    """Training step that also accumulates view-space gradient statistics
+    for adaptive density control (densify.py). Returns
+    (new TrainState, new DensifyState, loss)."""
+    from .densify import accumulate_stats
+    from .ops.projection import project_gaussians
+
+    n = state.params["means3d"].shape[0]
+
+    def loss_fn(params, offset):
+        def render_one(cam):
+            p = activate(params)
+            return render_gaussians(
+                p["means3d"], p["scales"], p["quats"], p["opacities"],
+                p["features"], cam, sh_degree=sh_degree, config=config,
+                means2d_offset=offset,
+            )
+
+        imgs = jax.vmap(render_one)(cameras)
+        return l2_image_loss(imgs, targets)
+
+    offset0 = jnp.zeros((n, 2), jnp.float32)
+    loss, grads = jax.value_and_grad(loss_fn, argnums=(0, 1))(
+        state.params, offset0
+    )
+    param_grads, view_grads = grads
+
+    # Visibility: rendered by at least one camera this step.
+    def vis_one(cam):
+        p = activate(state.params)
+        proj = project_gaussians(
+            p["means3d"], p["scales"], p["quats"], p["opacities"], cam,
+            config,
+        )
+        return proj.radii[:, 0] > 0
+
+    visible = jnp.any(jax.vmap(vis_one)(cameras), axis=0)
+    densify_state = accumulate_stats(densify_state, view_grads, visible)
+
+    updates, opt_state = optimizer.update(
+        param_grads, state.opt_state, state.params
+    )
+    params = optax.apply_updates(state.params, updates)
+    return (
+        TrainState(params, opt_state, state.step + 1),
+        densify_state,
+        loss,
+    )
+
+
 def train_step_sharded(
     state: TrainState,
     cameras: Camera,  # batched over leading axis B (sharded over 'data')

@@ -65,6 +65,17 @@ def main():
     ap.add_argument("--impl", default="pallas", choices=["xla", "pallas"])
     ap.add_argument("--out-dir", default="output/train_demo")
     ap.add_argument("--steps-per-call", type=int, default=25)
+    ap.add_argument(
+        "--densify-every", type=int, default=0,
+        help="run adaptive density control every N steps (0 = off); starts "
+        "from fit-gaussians live slots padded to 2x capacity",
+    )
+    ap.add_argument(
+        "--densify-grad-threshold", type=float, default=2e-6,
+        help="mean view-space gradient norm above which a gaussian is "
+        "cloned/split (the INRIA 2e-4 default assumes their loss scale; "
+        "this demo's plain L2 on small images runs ~100x lower)",
+    )
     args = ap.parse_args()
     os.makedirs(args.out_dir, exist_ok=True)
 
@@ -101,21 +112,59 @@ def main():
         jax.random.PRNGKey(42), args.fit_gaussians, position_scale=1.2,
         log_scale_mean=-2.6,
     )
+    densify = args.densify_every > 0
+    if densify:
+        from mojosplat_tpu.densify import (
+            DensifyState,
+            densify_and_prune,
+            pad_to_capacity,
+        )
+
+        raw = pad_to_capacity(raw, 2 * args.fit_gaussians)
     optimizer = mtrain.make_optimizer(args.lr)
     state = mtrain.init_train_state(raw, optimizer)
+    n_slots = raw["opacities_raw"].shape[0]
 
-    step_fn = functools.partial(
-        mtrain.train_step, optimizer=optimizer, config=config
-    )
+    if densify:
+        dstate = DensifyState.zero(n_slots)
 
-    def multi_step(state, cs, tgts, n):
-        def body(s, _):
-            s, loss = step_fn(s, cs, tgts)
-            return s, loss
+        def multi_step(state, dstate, cs, tgts, n):
+            def body(carry, _):
+                s, d = carry
+                s, d, loss = mtrain.train_step_with_densify_stats(
+                    s, d, cs, tgts, optimizer, config=config
+                )
+                return (s, d), loss
 
-        return jax.lax.scan(body, state, None, length=n)
+            (state, dstate), losses = jax.lax.scan(
+                body, (state, dstate), None, length=n
+            )
+            return state, dstate, losses
 
-    run = jax.jit(functools.partial(multi_step, n=args.steps_per_call))
+        run_d = jax.jit(functools.partial(multi_step, n=args.steps_per_call))
+        from mojosplat_tpu.densify import DensifyConfig
+
+        densify_fn = jax.jit(
+            functools.partial(
+                densify_and_prune, scene_extent=3.0,
+                config=DensifyConfig(
+                    grad_threshold=args.densify_grad_threshold
+                ),
+            )
+        )
+    else:
+        step_fn = functools.partial(
+            mtrain.train_step, optimizer=optimizer, config=config
+        )
+
+        def multi_step(state, cs, tgts, n):
+            def body(s, _):
+                s, loss = step_fn(s, cs, tgts)
+                return s, loss
+
+            return jax.lax.scan(body, state, None, length=n)
+
+        run = jax.jit(functools.partial(multi_step, n=args.steps_per_call))
 
     img0 = jax.jit(render_batch)(mtrain.activate(state.params), cams)
     print(f"initial PSNR: {float(psnr(img0, targets)):.2f} dB")
@@ -124,13 +173,31 @@ def main():
 
     t0 = time.perf_counter()
     done = 0
+    key = jax.random.PRNGKey(7)
     while done < args.steps:
-        state, losses = run(state, cams, targets)
+        if densify:
+            state, dstate, losses = run_d(state, dstate, cams, targets)
+        else:
+            state, losses = run(state, cams, targets)
         done += args.steps_per_call
-        print(
+        msg = (
             f"step {done:5d}  loss {float(losses[-1]):.6f}  "
             f"({(time.perf_counter() - t0) / done * 1000:.1f} ms/step avg)"
         )
+        if densify and done % args.densify_every == 0 and done < args.steps:
+            key, sub = jax.random.split(key)
+            params, dstate, metrics = densify_fn(state.params, dstate, sub)
+            # Fresh optimizer state for the mutated parameter set.
+            state = mtrain.TrainState(
+                params, optimizer.init(params), state.step
+            )
+            msg += (
+                f"  [densify: +{int(metrics['cloned'])} cloned, "
+                f"+{int(metrics['split'])} split, "
+                f"-{int(metrics['pruned'])} pruned, "
+                f"{int(metrics['alive'])} alive]"
+            )
+        print(msg)
 
     imgN = jax.jit(render_batch)(mtrain.activate(state.params), cams)
     final_psnr = float(psnr(imgN, targets))

@@ -225,6 +225,13 @@ def _fwd_kernel(counts_ref, pdata_ref, out_ref, thist_ref, nhist_ref,
 def _bwd_kernel(counts_ref, pdata_ref, gout_ref, thist_ref, nhist_ref,
                 dpdata_ref,
                 gt_s, *, K, P, ts, tw, tps, config):
+    # Gradient-only matmuls follow the grad_route_bf16 knob: users opting
+    # into the fast approximate gradient route get single-pass MXU dots too.
+    grad_precision = (
+        jax.lax.Precision.DEFAULT
+        if config.grad_route_bf16
+        else jax.lax.Precision.HIGHEST
+    )
     # Loop state in VMEM scratch + pl.when, same rationale as _fwd_kernel.
     # The forward saved each chunk's incoming transmittance sign-packed with
     # the done latch, so there is no forward re-walk here: one reverse pass.
@@ -277,14 +284,14 @@ def _bwd_kernel(counts_ref, pdata_ref, gout_ref, thist_ref, nhist_ref,
                 cv = jax.lax.dot_general(
                     v, cols_t, (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
+                    precision=grad_precision,
                 )  # (P, K)
 
                 # d cols_t[c, j] = sum_p v[p, c] * w[p, j]
                 d_cols_t = jax.lax.dot_general(
                     v, w, (((0,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
+                    precision=grad_precision,
                 )  # (4, K)
 
                 q = w * cv  # (P, K)
@@ -499,7 +506,9 @@ def _gather_rows_bwd(interpret, route_bf16, res, g):
         (safe,) + tuple(g[i].astype(sort_dtype) for i in range(F)),
         num_keys=1,
     )
-    d9 = segment_sum_cols(ops[1:], ops[0], N, interpret=interpret)
+    d9 = segment_sum_cols(
+        ops[1:], ops[0], N, interpret=interpret, exact=not route_bf16
+    )
     d_packed = jnp.pad(d9, ((0, 0), (0, 1)))
     d_safe = np.zeros(safe.shape, dtype=jax.dtypes.float0)
     return d_packed, d_safe

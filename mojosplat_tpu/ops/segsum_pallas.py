@@ -39,7 +39,8 @@ _R = 1024
 _FPAD = 16
 
 
-def _kernel(bounds_ref, cols_hbm, out_ref, buf, acc, sem, *, F, key_row):
+def _kernel(bounds_ref, cols_hbm, out_ref, buf, acc, sem, *, F, key_row,
+            precision):
     w = pl.program_id(0)
     # Quantize the window's row range to 128-aligned chunk starts; the
     # extra rows straddling the boundary fail the key-window test below.
@@ -64,7 +65,7 @@ def _kernel(bounds_ref, cols_hbm, out_ref, buf, acc, sem, *, F, key_row):
         acc[...] = acc[...] + jax.lax.dot_general(
             onehot, chunk, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
+            precision=precision,
         )  # (W, _FPAD)
         return 0
 
@@ -72,7 +73,8 @@ def _kernel(bounds_ref, cols_hbm, out_ref, buf, acc, sem, *, F, key_row):
     out_ref[...] = acc[:, :F]
 
 
-def segment_sum_cols(cols, keys, num_segments, interpret=False):
+def segment_sum_cols(cols, keys, num_segments, interpret=False,
+                     exact=True):
     """Sum columns into (num_segments, F) by non-decreasing int keys.
 
     Args:
@@ -118,8 +120,12 @@ def segment_sum_cols(cols, keys, num_segments, interpret=False):
             pltpu.SemaphoreType.DMA,
         ],
     )
+    precision = (
+        jax.lax.Precision.HIGHEST if exact else jax.lax.Precision.DEFAULT
+    )
     out = pl.pallas_call(
-        functools.partial(_kernel, F=F, key_row=key_row),
+        functools.partial(_kernel, F=F, key_row=key_row,
+                          precision=precision),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_windows * _W, F), jnp.float32),
         interpret=interpret,
@@ -127,7 +133,8 @@ def segment_sum_cols(cols, keys, num_segments, interpret=False):
     return out[:num_segments]
 
 
-def segment_sum_rows(rows, keys, num_segments, interpret=False):
+def segment_sum_rows(rows, keys, num_segments, interpret=False,
+                     exact=True):
     """Deterministic segment-sum of unsorted (M, F) rows: sort by key
     (streaming merge passes, bandwidth-friendly), then the banded matmul
     reduction."""
@@ -136,5 +143,5 @@ def segment_sum_rows(rows, keys, num_segments, interpret=False):
         (keys,) + tuple(rows[:, i] for i in range(F)), num_keys=1
     )
     return segment_sum_cols(
-        ops[1:], ops[0], num_segments, interpret=interpret
+        ops[1:], ops[0], num_segments, interpret=interpret, exact=exact
     )

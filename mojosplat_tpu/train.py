@@ -75,6 +75,57 @@ def l2_image_loss(rendered: jax.Array, target: jax.Array) -> jax.Array:
     return jnp.mean((rendered - target) ** 2)
 
 
+def _gaussian_window(size: int = 11, sigma: float = 1.5) -> jax.Array:
+    x = jnp.arange(size, dtype=jnp.float32) - (size - 1) / 2.0
+    g = jnp.exp(-(x**2) / (2.0 * sigma**2))
+    g = g / jnp.sum(g)
+    return g[:, None] * g[None, :]
+
+
+def ssim(a: jax.Array, b: jax.Array, window_size: int = 11) -> jax.Array:
+    """Mean SSIM between two (..., H, W, C) images in [0, 1].
+
+    The 11x11 Gaussian-window SSIM of the original 3DGS training recipe
+    (which the reference cannot run — it has no training). Implemented as
+    depthwise convolutions so XLA maps it onto the conv/MXU units.
+    """
+    c1, c2 = 0.01**2, 0.03**2
+    w = _gaussian_window(window_size)
+
+    lead = a.shape[:-3]
+    H, W, C = a.shape[-3:]
+    x = a.reshape((-1, H, W, C)).transpose(0, 3, 1, 2).reshape(-1, 1, H, W)
+    y = b.reshape((-1, H, W, C)).transpose(0, 3, 1, 2).reshape(-1, 1, H, W)
+    kernel = w[None, None, :, :]
+
+    def blur(img):
+        return jax.lax.conv_general_dilated(
+            img, kernel, (1, 1), "SAME",
+            dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        )
+
+    mx, my = blur(x), blur(y)
+    mxx, myy, mxy = mx * mx, my * my, mx * my
+    sx = blur(x * x) - mxx
+    sy = blur(y * y) - myy
+    sxy = blur(x * y) - mxy
+    s = ((2 * mxy + c1) * (2 * sxy + c2)) / (
+        (mxx + myy + c1) * (sx + sy + c2)
+    )
+    return jnp.mean(s.reshape(lead + (-1,)) if lead else s)
+
+
+def dssim_l1_loss(
+    rendered: jax.Array, target: jax.Array, ssim_weight: float = 0.2
+) -> jax.Array:
+    """The standard 3DGS photometric loss:
+    (1 - w) * L1 + w * (1 - SSIM)."""
+    l1 = jnp.mean(jnp.abs(rendered - target))
+    return (1.0 - ssim_weight) * l1 + ssim_weight * (1.0 - ssim(
+        rendered, target
+    ))
+
+
 def make_optimizer(lr: float = 1e-2) -> optax.GradientTransformation:
     return optax.adam(lr)
 

@@ -68,3 +68,34 @@ def test_log_render_aux():
     rec = log_render_aux(aux, step=3)
     assert rec["num_isects"] == 10
     assert rec["step"] == 3
+
+
+class TestSSIM:
+    def test_identical_images(self):
+        import jax, jax.numpy as jnp
+        from mojosplat_tpu.train import ssim, dssim_l1_loss
+
+        img = jax.random.uniform(jax.random.PRNGKey(0), (32, 32, 3))
+        assert float(ssim(img, img)) > 0.9999
+        assert float(dssim_l1_loss(img, img)) < 1e-5
+
+    def test_noise_lowers_ssim(self):
+        import jax, jax.numpy as jnp
+        from mojosplat_tpu.train import ssim
+
+        img = jax.random.uniform(jax.random.PRNGKey(0), (32, 32, 3))
+        noisy = jnp.clip(
+            img + 0.3 * jax.random.normal(jax.random.PRNGKey(1), img.shape),
+            0, 1,
+        )
+        assert float(ssim(img, noisy)) < 0.6
+
+    def test_batched_and_differentiable(self):
+        import jax, jax.numpy as jnp
+        from mojosplat_tpu.train import dssim_l1_loss
+
+        a = jax.random.uniform(jax.random.PRNGKey(0), (2, 16, 16, 3))
+        b = jax.random.uniform(jax.random.PRNGKey(1), (2, 16, 16, 3))
+        g = jax.grad(lambda x: dssim_l1_loss(x, b))(a)
+        assert g.shape == a.shape
+        assert bool(jnp.all(jnp.isfinite(g)))

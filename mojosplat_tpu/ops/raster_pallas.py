@@ -24,11 +24,13 @@ lane offsets aligned — and the skip is a real branch (lax.cond), not masking.
 
 The backward pass is a second kernel (the capability the reference lacks
 entirely; its kernel drops the per-pixel transmittance needed for it,
-rasterization.py:124). It re-walks the tile forward keeping per-chunk
-incoming transmittance in registers, then walks chunks in reverse carrying
-the transmittance cotangent, producing per-slot gradients that XLA
-scatter-adds back to per-gaussian arrays deterministically (no atomics —
-SURVEY.md section 5, race-detection row).
+rasterization.py:124). The forward saves each chunk's incoming per-pixel
+transmittance (sign-packed with the early-termination latch); the backward
+walks chunks in reverse carrying the transmittance cotangent, recomputing
+each chunk's alpha cumprod (deterministic, so the applied mask reconstructs
+bit-exactly), producing per-slot gradients that are routed back to
+per-gaussian arrays deterministically (no atomics — SURVEY.md section 5,
+race-detection row).
 
 Both kernels share the blending math of the XLA path (_blend_chunk /
 _pixel_alphas in rasterization.py), so the XLA path doubles as the oracle in
@@ -147,7 +149,7 @@ def _chunk_geometry(g, k, K, px, py, count, config):
     return alpha, keep, raw, e, dx, dy, ca, cb, cc, op, col
 
 
-def _fwd_kernel(counts_ref, pdata_ref, out_ref, thist_ref, nhist_ref,
+def _fwd_kernel(counts_ref, pdata_ref, out_ref, thist_ref,
                 t_s, done_s, acc_s, *, K, P, ts, tw, tps, config):
     # All loop state lives in VMEM scratch and chunk updates are predicated
     # (pl.when): branch carries of (P, 1) vectors blow up Mosaic's scf.if
@@ -162,12 +164,10 @@ def _fwd_kernel(counts_ref, pdata_ref, out_ref, thist_ref, nhist_ref,
     # Per-chunk incoming transmittance, sign-packed with the done latch
     # (T is always > 0): the residual the backward kernel replays instead of
     # re-walking the tile forward. Default -1 = "all pixels done" so the
-    # backward skips chunks the forward never ran. nhist records how many
-    # lanes of the chunk were applied per pixel: T_after is monotone along
-    # lanes, so the applied mask is a prefix and one count reconstructs it —
-    # the backward then needs no cumprod of the original alphas at all.
+    # backward skips chunks the forward never ran. The applied mask itself is
+    # NOT saved: the backward recomputes the identical alpha cumprod (the
+    # scan is deterministic), so (t_in, alphas) fully reconstruct it.
     thist_ref[...] = jnp.full_like(thist_ref, -1.0)
-    nhist_ref[...] = jnp.zeros_like(nhist_ref)
 
     for i in range(tps):
         t = tt * tps + i
@@ -197,12 +197,15 @@ def _fwd_kernel(counts_ref, pdata_ref, out_ref, thist_ref, nhist_ref,
                 t_after = t_in * cum
                 alive = done == 0.0
                 applied = (t_after > eps) & alive
-                nhist_ref[i, :, k : k + 1] = jnp.sum(
-                    applied.astype(jnp.float32), axis=1, keepdims=True
-                )
                 eff = jnp.where(applied, alpha, 0.0)
-                cume = _lane_cumprod(1.0 - eff, col, K)
-                excl = _lane_excl(cume, col, 1.0)
+                # `applied` is a lane prefix (t_after is non-increasing), so
+                # on applied lanes the exclusive cumprod of the *effective*
+                # alphas equals the exclusive cumprod of the original alphas
+                # bit-exactly (a Hillis-Steele scan at position j depends
+                # only on inputs 0..j, which agree). On non-applied lanes
+                # eff == 0 zeroes w, so one cumprod serves both roles —
+                # the second scan the old kernel ran was redundant.
+                excl = _lane_excl(cum, col, 1.0)
                 w = eff * t_in * excl  # (P, K)
 
                 cols_t = g[6:10, :]  # (4, K) rgb + zero pad row
@@ -211,7 +214,12 @@ def _fwd_kernel(counts_ref, pdata_ref, out_ref, thist_ref, nhist_ref,
                     preferred_element_type=jnp.float32,
                 precision=jax.lax.Precision.HIGHEST,
                 )
-                t_s[...] = t_in * cume[:, K - 1 : K]
+                # T after the chunk = t_after at the last applied lane
+                # (t_in when none applied) = the min over applied lanes,
+                # since t_after <= t_in and is non-increasing.
+                t_s[...] = jnp.min(
+                    jnp.where(applied, t_after, t_in), axis=1, keepdims=True
+                )
                 done_s[...] = jnp.maximum(
                     done,
                     (t_after[:, K - 1 : K] <= eps).astype(jnp.float32),
@@ -222,7 +230,7 @@ def _fwd_kernel(counts_ref, pdata_ref, out_ref, thist_ref, nhist_ref,
         )
 
 
-def _bwd_kernel(counts_ref, pdata_ref, gout_ref, thist_ref, nhist_ref,
+def _bwd_kernel(counts_ref, pdata_ref, gout_ref, thist_ref,
                 dpdata_ref,
                 gt_s, *, K, P, ts, tw, tps, config):
     # Gradient-only matmuls follow the grad_route_bf16 knob: users opting
@@ -265,19 +273,24 @@ def _bwd_kernel(counts_ref, pdata_ref, gout_ref, thist_ref, nhist_ref,
                 alpha, keep, raw, e, dx, dy, ca, cb, cc, op, col = (
                     _chunk_geometry(g, k, K, px, py, count, config)
                 )
-                # The applied mask is the per-pixel lane prefix the forward
-                # counted (T_after monotone along lanes), so no cumprod of
-                # the original alphas is needed here.
-                applied = (
-                    col.astype(jnp.float32) < nhist_ref[i, :, k : k + 1]
-                )
+                # Recompute the forward's applied mask bit-exactly: the same
+                # deterministic alpha cumprod against the saved t_in and the
+                # sign-packed alive latch. As in the forward, one cumprod of
+                # the *original* alphas serves as the exclusive prefix for
+                # all applied lanes (prefix property), and the chunk-exit
+                # transmittance is the min over applied lanes.
+                cum = _lane_cumprod(1.0 - alpha, col, K)
+                t_after = t_in * cum
+                applied = (t_after > eps) & (th > 0.0)
                 eff = jnp.where(applied, alpha, 0.0)
                 ome = 1.0 - eff
-                cume = _lane_cumprod(ome, col, K)
-                excl = _lane_excl(cume, col, 1.0)
+                excl = _lane_excl(cum, col, 1.0)
                 t_before = t_in * excl  # (P, K)
                 w = eff * t_before
-                t_out = t_in * cume[:, K - 1 : K]
+                cum_last = jnp.min(
+                    jnp.where(applied, cum, 1.0), axis=1, keepdims=True
+                )
+                t_out = t_in * cum_last
 
                 cols_t = g[6:10, :]  # (4, K) rgb + zero pad row
                 # cv[p, j] = sum_c v[p, c] * cols_t[c, j]
@@ -330,7 +343,7 @@ def _bwd_kernel(counts_ref, pdata_ref, gout_ref, thist_ref, nhist_ref,
                 # dL/dT_in = sum_j eff_j excl_j cv_j + gT * prod(1 - eff).
                 gt_s[...] = (
                     jnp.sum(eff * excl * cv, axis=1, keepdims=True)
-                    + gt * cume[:, K - 1 : K]
+                    + gt * cum_last
                 )
 
 
@@ -389,7 +402,6 @@ def _raster_fwd_call(pdata, counts, ts, tw, config):
         out_specs=[
             pl.BlockSpec((tps, P, _CCOLS), lambda t, c: (t, 0, 0)),
             pl.BlockSpec((tps, P, nc), lambda t, c: (t, 0, 0)),
-            pl.BlockSpec((tps, P, nc), lambda t, c: (t, 0, 0)),
         ],
         scratch_shapes=[
             pltpu.VMEM((P, 1), jnp.float32),  # t_s
@@ -397,26 +409,25 @@ def _raster_fwd_call(pdata, counts, ts, tw, config):
             pltpu.VMEM((P, _CCOLS), jnp.float32),  # acc_s
         ],
     )
-    out, thist, nhist = pl.pallas_call(
+    out, thist = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((n_pad, P, _CCOLS), jnp.float32),
             jax.ShapeDtypeStruct((n_pad, P, nc), jnp.float32),
-            jax.ShapeDtypeStruct((n_pad, P, nc), jnp.float32),
         ],
         interpret=config.pallas_interpret,
     )(counts, pdata)
-    return out[:n_tiles], thist, nhist
+    return out[:n_tiles], thist
 
 
 def _raster_fwd_rule(pdata, counts, ts, tw, config):
-    out, thist, nhist = _raster_fwd_call(pdata, counts, ts, tw, config)
-    return out, (pdata, counts, thist, nhist)
+    out, thist = _raster_fwd_call(pdata, counts, ts, tw, config)
+    return out, (pdata, counts, thist)
 
 
 def _raster_bwd_rule(ts, tw, config, residuals, gout):
-    pdata, counts, thist, nhist = residuals
+    pdata, counts, thist = residuals
     n_tiles = counts.shape[0]
     cap = pdata.shape[1] // n_tiles
     P = ts * ts
@@ -426,7 +437,7 @@ def _raster_bwd_rule(ts, tw, config, residuals, gout):
     nc = cap // K
     if n_pad != n_tiles:
         gout = jnp.pad(gout, ((0, n_pad - n_tiles), (0, 0), (0, 0)))
-    # thist/nhist come from the forward already padded to n_pad.
+    # thist comes from the forward already padded to n_pad.
 
     kernel = functools.partial(
         _bwd_kernel, K=K, P=P, ts=ts, tw=tw, tps=tps, config=config
@@ -437,7 +448,6 @@ def _raster_bwd_rule(ts, tw, config, residuals, gout):
         in_specs=[
             pl.BlockSpec((_PROWS, tps * cap), lambda t, c: (0, t)),
             pl.BlockSpec((tps, P, _CCOLS), lambda t, c: (t, 0, 0)),
-            pl.BlockSpec((tps, P, nc), lambda t, c: (t, 0, 0)),
             pl.BlockSpec((tps, P, nc), lambda t, c: (t, 0, 0)),
         ],
         out_specs=pl.BlockSpec((_PROWS, tps * cap), lambda t, c: (0, t)),
@@ -450,7 +460,7 @@ def _raster_bwd_rule(ts, tw, config, residuals, gout):
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((_PROWS, n_pad * cap), jnp.float32),
         interpret=config.pallas_interpret,
-    )(counts, pdata, gout, thist, nhist)
+    )(counts, pdata, gout, thist)
     d_pdata = d_pdata[:, : n_tiles * cap]
     d_counts = np.zeros(counts.shape, dtype=jax.dtypes.float0)
     return d_pdata, d_counts
@@ -490,25 +500,66 @@ def _gather_rows_fwd(packed, safe, interpret, route_bf16):
     return _gather_rows_impl(packed, safe), (safe, packed.shape[0])
 
 
+def _pack_bf16_pair(a, b):
+    """Two (M,) bf16 arrays -> one (M,) int32 (a in low 16 bits, b in high).
+
+    Sort payload cost grows per *operand* (each payload column is carried
+    through every merge pass), so pair-packing halves the operand count of
+    the gradient-routing sort; the packing/unpacking itself is a cheap fused
+    elementwise pass. int32 (not f32) so no NaN canonicalization risk.
+    """
+    au = jax.lax.bitcast_convert_type(a, jnp.uint16).astype(jnp.uint32)
+    bu = jax.lax.bitcast_convert_type(b, jnp.uint16).astype(jnp.uint32)
+    return jax.lax.bitcast_convert_type(au | (bu << 16), jnp.int32)
+
+
+def _unpack_bf16_pair(p):
+    """Inverse of _pack_bf16_pair: (M,) int32 -> two (M,) bf16."""
+    u = jax.lax.bitcast_convert_type(p, jnp.uint32)
+    lo = jax.lax.bitcast_convert_type(
+        (u & 0xFFFF).astype(jnp.uint16), jnp.bfloat16
+    )
+    hi = jax.lax.bitcast_convert_type(
+        (u >> 16).astype(jnp.uint16), jnp.bfloat16
+    )
+    return lo, hi
+
+
 def _gather_rows_bwd(interpret, route_bf16, res, g):
     from .segsum_pallas import segment_sum_cols
 
     safe, N = res
-    # Optionally route per-slot gradients in bf16: halves the payload-sort
-    # traffic at ~0.4% relative quantization noise on the per-slot terms
-    # (the reduction itself still accumulates in f32 on the MXU).
-    sort_dtype = jnp.bfloat16 if route_bf16 else jnp.float32
     # Row _PROWS-1 is the zero pad column: its cotangent is identically zero
     # and its destination slice in `packed` is discarded by the pack's
     # autodiff, so don't pay sort/reduce bandwidth for it.
     F = g.shape[0] - 1
-    ops = jax.lax.sort(
-        (safe,) + tuple(g[i].astype(sort_dtype) for i in range(F)),
-        num_keys=1,
-    )
-    d9 = segment_sum_cols(
-        ops[1:], ops[0], N, interpret=interpret, exact=not route_bf16
-    )
+    if route_bf16:
+        # bf16 route: halves the payload bytes (~0.4% relative quantization
+        # on the per-slot terms; the reduction still accumulates f32 on the
+        # MXU) AND pair-packs the bf16 columns into int32 so the sort
+        # carries 5 payload operands instead of 9.
+        cols = [g[i].astype(jnp.bfloat16) for i in range(F)]
+        if F % 2:
+            cols.append(jnp.zeros_like(cols[0]))
+        packed_cols = tuple(
+            _pack_bf16_pair(cols[i], cols[i + 1])
+            for i in range(0, len(cols), 2)
+        )
+        ops = jax.lax.sort((safe,) + packed_cols, num_keys=1)
+        unpacked = []
+        for c in ops[1:]:
+            lo, hi = _unpack_bf16_pair(c)
+            unpacked += [lo, hi]
+        d9 = segment_sum_cols(
+            tuple(unpacked[:F]), ops[0], N, interpret=interpret, exact=False
+        )
+    else:
+        ops = jax.lax.sort(
+            (safe,) + tuple(g[i] for i in range(F)), num_keys=1
+        )
+        d9 = segment_sum_cols(
+            ops[1:], ops[0], N, interpret=interpret, exact=True
+        )
     d_packed = jnp.pad(d9, ((0, 0), (0, 1)))
     d_safe = np.zeros(safe.shape, dtype=jax.dtypes.float0)
     return d_packed, d_safe

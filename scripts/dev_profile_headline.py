@@ -6,6 +6,7 @@ route). See dev_bench.py header for this machine's TPU measurement rules.
 """
 
 import functools
+import sys
 import time
 
 import jax
@@ -23,6 +24,11 @@ from mojosplat_tpu.ops.sh import sh_to_color
 from mojosplat_tpu.ops.slice_pallas import segment_slice_gather
 
 ITERS = 10
+
+# Stage group to profile this run ("pre" | "mid" | "raster"); one group per
+# process keeps each run under this machine's 570 s TPU command budget
+# (every amortized() entry costs two 1M/1080p jit compiles).
+GROUP = (sys.argv[1] if len(sys.argv) > 1 else "raster")
 
 cfg = RenderConfig(tile_capacity=512, chunk_size=64, tile_batch=512,
                    max_tile_span=8, raster_impl="pallas", pallas_chunk=128,
@@ -91,38 +97,47 @@ pdata = gather_tile_data(proj.means2d, proj.conics, colors,
 print("mean count/tile:", float(counts.mean()), " max:", int(counts.max()),
       " isects:", int(binning.aux.num_isects), flush=True)
 
-amortized("sh_to_color fwd", lambda f, m, p: sh_to_color(f, m, p, sh),
-          params["features"], params["means3d"], camera.position)
-amortized("sh_to_color fwd+bwd",
-          lambda f, m, p: sh_to_color(f, m, p, sh),
-          params["features"], params["means3d"], camera.position,
-          grad_of=(0, 1))
-amortized("projection fwd",
-          lambda m, s, q, o, cam: project_gaussians(m, s, q, o, cam, cfg),
-          params["means3d"], params["scales"], params["quats"],
-          params["opacities"], camera)
-amortized("projection fwd+bwd",
-          lambda m, s, q, o, cam: project_gaussians(m, s, q, o, cam, cfg)[:3],
-          params["means3d"], params["scales"], params["quats"],
-          params["opacities"], camera, grad_of=(0, 1, 2, 3))
-amortized("binning fwd",
-          lambda m2, r, d: bin_gaussians_to_tiles(m2, r, d, H, W, cfg),
-          proj.means2d, proj.radii, proj.depths)
-amortized("slice slot_gids",
-          lambda g, s: segment_slice_gather(g, s, cfg.tile_capacity),
-          binning.gaussian_ids, ranges[:, 0])
-amortized("gather fwd",
-          lambda m2, c, cl, o, t: gather_tile_data(
-              m2, c, cl, o, t, route_bf16=cfg.grad_route_bf16),
-          proj.means2d, proj.conics, colors, params["opacities"], slot_gids)
-amortized("gather fwd+bwd",
-          lambda m2, c, cl, o, t: gather_tile_data(
-              m2, c, cl, o, t, route_bf16=cfg.grad_route_bf16),
-          proj.means2d, proj.conics, colors, params["opacities"], slot_gids,
-          grad_of=(0, 1, 2, 3))
-amortized("pallas raster fwd",
-          lambda g, n_: raster_tiles_pallas(g, n_, cfg.tile_size, tw, cfg),
-          pdata, counts)
-amortized("pallas raster fwd+bwd",
-          lambda g, n_: raster_tiles_pallas(g, n_, cfg.tile_size, tw, cfg),
-          pdata, counts, grad_of=(0,))
+if GROUP == "pre":
+    amortized("sh_to_color fwd", lambda f, m, p: sh_to_color(f, m, p, sh),
+              params["features"], params["means3d"], camera.position)
+    amortized("sh_to_color fwd+bwd",
+              lambda f, m, p: sh_to_color(f, m, p, sh),
+              params["features"], params["means3d"], camera.position,
+              grad_of=(0, 1))
+    amortized("projection fwd",
+              lambda m, s, q, o, cam: project_gaussians(m, s, q, o, cam, cfg),
+              params["means3d"], params["scales"], params["quats"],
+              params["opacities"], camera)
+    amortized("projection fwd+bwd",
+              lambda m, s, q, o, cam: project_gaussians(
+                  m, s, q, o, cam, cfg)[:3],
+              params["means3d"], params["scales"], params["quats"],
+              params["opacities"], camera, grad_of=(0, 1, 2, 3))
+elif GROUP == "mid1":
+    amortized("binning fwd",
+              lambda m2, r, d: bin_gaussians_to_tiles(m2, r, d, H, W, cfg),
+              proj.means2d, proj.radii, proj.depths)
+    amortized("slice slot_gids",
+              lambda g, s: segment_slice_gather(g, s, cfg.tile_capacity),
+              binning.gaussian_ids, ranges[:, 0])
+elif GROUP == "mid2":
+    amortized("gather fwd",
+              lambda m2, c, cl, o, t: gather_tile_data(
+                  m2, c, cl, o, t, route_bf16=cfg.grad_route_bf16),
+              proj.means2d, proj.conics, colors, params["opacities"],
+              slot_gids)
+elif GROUP == "mid3":
+    amortized("gather fwd+bwd",
+              lambda m2, c, cl, o, t: gather_tile_data(
+                  m2, c, cl, o, t, route_bf16=cfg.grad_route_bf16),
+              proj.means2d, proj.conics, colors, params["opacities"],
+              slot_gids, grad_of=(0, 1, 2, 3))
+elif GROUP == "raster":
+    amortized("pallas raster fwd",
+              lambda g, n_: raster_tiles_pallas(g, n_, cfg.tile_size, tw, cfg),
+              pdata, counts)
+    amortized("pallas raster fwd+bwd",
+              lambda g, n_: raster_tiles_pallas(g, n_, cfg.tile_size, tw, cfg),
+              pdata, counts, grad_of=(0,))
+else:
+    raise SystemExit(f"unknown group {GROUP!r}")

@@ -74,6 +74,26 @@ class TestPallasVsXla:
         assert jnp.allclose(img[..., 1], 0.1, atol=1e-6)
         assert jnp.allclose(img[..., 2], 0.3, atol=1e-6)
 
+    def test_bf16_grad_route_close(self):
+        # grad_route_bf16 sorts pair-packed bf16 per-slot gradients; in
+        # interpret/CPU mode the converts execute literally, so expect
+        # ~bf16-level relative error vs the exact f32 route, not equality.
+        params, camera = make_scene(n=90, seed=5)
+        cfg_fast = RenderConfig(
+            **CFG_KW, raster_impl="pallas", pallas_chunk=128,
+            pallas_interpret=True, grad_route_bf16=True,
+        )
+
+        def loss(p, config):
+            return jnp.mean(render(config, p, camera) ** 2)
+
+        gx = jax.grad(lambda p: loss(p, CFG_PALLAS))(params)
+        gf = jax.grad(lambda p: loss(p, cfg_fast))(params)
+        for k in gx:
+            ref = jnp.max(jnp.abs(gx[k])) + 1e-12
+            diff = jnp.max(jnp.abs(gx[k] - gf[k]))
+            assert diff / ref < 3e-2, f"grad {k}: {diff} vs scale {ref}"
+
     def test_early_termination_matches(self):
         # Opaque front gaussian saturates transmittance: the chunk-level
         # early exit must reproduce the sequential break exactly.

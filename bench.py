@@ -112,6 +112,10 @@ def main():
     ap.add_argument("--mode", choices=["fwd", "fwdbwd"], default="fwdbwd")
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--impl", default="pallas", choices=["xla", "pallas"])
+    ap.add_argument("--tps", type=int, default=4,
+                    help="pallas tiles per grid step")
+    ap.add_argument("--chunk", type=int, default=128,
+                    help="pallas gaussians per chunk")
     ap.add_argument(
         "--bf16-grads", action=__import__("argparse").BooleanOptionalAction,
         default=True,
@@ -129,7 +133,8 @@ def main():
         tile_batch=512,
         max_tile_span=8,
         raster_impl=args.impl,
-        pallas_chunk=128,
+        pallas_chunk=args.chunk,
+        pallas_tiles_per_step=args.tps,
         grad_route_bf16=args.bf16_grads,
     )
     sh = args.sh_degree if args.sh_degree >= 0 else None

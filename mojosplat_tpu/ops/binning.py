@@ -13,18 +13,33 @@ README.md:27). Three static budgets bound the dynamic quantities:
 
   1. ``max_tile_span`` caps the per-gaussian tile footprint per axis; larger
      footprints are truncated symmetrically around the gaussian's center tile.
-  2. ``capacity`` caps the total intersection count; surplus entries are
-     dropped by the scatter's OOB-drop mode.
+  2. ``capacity`` caps the total intersection count. Because both routes
+     emit slots in depth order, overflow drops the FARTHEST-depth
+     intersections first — the ones most likely already occluded — rather
+     than an arbitrary index-based subset (and both routes drop the same
+     set, so the oracle stays valid under overflow).
   3. Padding entries carry the sentinel ``tile_id == n_tiles`` which sorts past
      every real tile, so downstream range lookups need no masking.
 
 Both truncation and capacity overflow are *counted and surfaced* in the aux
 output instead of silently printed and dropped (binning.py:202-206).
 
-The sort is a single stable ``jax.lax.sort`` keyed lexicographically on
-(tile_id, depth) — the vectorized equivalent of the torch backend's
-sort-by-depth-then-stable-sort-by-tile (binning.py:223-229). Tile ranges come
-from one vectorized ``searchsorted`` (binning.py:252-256).
+Two routes share the AABB/span math and produce identical output order:
+
+  - **pallas route** (production): a small N-row presort by (is_empty,
+    depth) makes slot emission depth-ascending and compacts nonzero-count
+    gaussians to a prefix; the banded expand kernel (expand_pallas.py)
+    derives slot ownership straight from the offsets row (no scatter, no
+    capacity-sized cumsums); the big per-slot sort then needs only the
+    tile key (stable, so depth order and original-index tie-breaks are
+    preserved). This is literally the torch backend's
+    sort-by-depth-then-stable-sort-by-tile (binning.py:223-229), with the
+    depth pass hoisted to the cheap N-sized side.
+  - **xla route** (oracle, runs anywhere): scatter-one-head-per-gaussian +
+    cumsum ownership recovery, one packed row gather, and a single stable
+    lexicographic sort on (tile_id, depth).
+
+Tile ranges come from one vectorized ``searchsorted`` (binning.py:252-256).
 """
 
 from __future__ import annotations
@@ -129,97 +144,159 @@ def bin_gaussians_to_tiles(
     counts = span_x * span_y
     span_truncated = jnp.sum(orig_area - counts)
 
-    offsets = jnp.cumsum(counts) - counts  # exclusive prefix sum
-    total = jnp.where(N > 0, offsets[-1] + counts[-1], 0).astype(jnp.int32)
-
-    # Segmented expansion by prefix sums — the TPU-native replacement for the
-    # reference's per-gaussian emission loop (binning.py:170-209). Each
-    # gaussian owns the slot range [offsets[i], offsets[i]+counts[i]); instead
-    # of scattering every candidate (tile, gaussian) pair (cost ~ N*span^2
-    # scatter updates — measured 15-90x slower than the real intersection
-    # count), we scatter-add ONE segment head per gaussian (N updates) and
-    # recover the owner of every slot with a cumulative sum:
-    #   head[offsets[i]] += 1  =>  gid[j] = cumsum(head)[j] - 1
-    # Zero-count gaussians share their offset with the next gaussian; the adds
-    # accumulate there and the cumsum resolves each slot to the LAST gaussian
-    # starting at-or-before it, which is the unique non-empty owner. The local
-    # tile of slot j then comes from a few (capacity,)-sized gathers. Total
-    # cost is O(N + capacity), independent of max_tile_span.
-    head = jnp.zeros((capacity,), jnp.int32)
-    head = head.at[offsets].add(1, mode="drop")
-    gid_buf = jnp.cumsum(head) - 1  # (capacity,) owner gaussian per slot
-
     slot = jnp.arange(capacity, dtype=jnp.int32)
-    in_range = (slot < total) & (gid_buf >= 0)
-    safe_gid = jnp.clip(gid_buf, 0, N - 1)
+    if N >= (1 << 24):
+        raise ValueError(
+            "binning packs gaussian indices in f32 (exact below 2^24); "
+            f"got N = {N}"
+        )
     if config.raster_impl == "pallas":
-        # Banded-expand route (expand_pallas.py): index owners by their
-        # *compact rank* (rank among nonzero-count gaussians), which steps
-        # by at most 1 per slot, so a Pallas kernel can stream each chunk's
-        # window of compacted rows sequentially and expand with a one-hot
-        # matmul — ~6x faster than the per-row XLA gather.
-        from .expand_pallas import segment_expand
+        # Depth-presorted banded-expand route. Gaussians are sorted ONCE by
+        # (is_empty, depth) — a small N-row sort — so that (a) slot emission
+        # order is already depth-ascending per gaussian group and the big
+        # per-slot sort below needs only the tile key (stability preserves
+        # depth order; ties still break by original index exactly like the
+        # old lexicographic (tile, depth) sort), and (b) nonzero-count
+        # gaussians form a contiguous prefix, which is what the banded
+        # expand kernel needs. The expand kernel (expand_pallas.py) derives
+        # slot ownership directly from the offsets row — no scatter-add, no
+        # capacity-sized cumsums, no rank array (that chain cost ~8 ms at
+        # 1080p/1M).
+        from .expand_pallas import segment_expand_offsets
 
-        fields_cols = jax.lax.sort(
+        _, _, counts_p, span_x_p, tx_min_p, ty_min_p, index_p = jax.lax.sort(
             (
                 (counts == 0).astype(jnp.int32),  # nonzero-count first
-                offsets.astype(jnp.float32),
+                depths.astype(jnp.float32),
+                counts.astype(jnp.float32),
                 span_x.astype(jnp.float32),
                 tx_min.astype(jnp.float32),
                 ty_min.astype(jnp.float32),
-                depths.astype(jnp.float32),
+                jnp.arange(N, dtype=jnp.float32),
             ),
-            num_keys=1,
+            num_keys=2,
             is_stable=True,
-        )[1:]
-        fields_t = jnp.stack(fields_cols, axis=0)  # (5, N) compacted-first
-        crank = jnp.cumsum(jnp.minimum(head, 1)) - 1  # owner compact rank
-        crank = jnp.clip(crank, 0, N - 1)
-        g = segment_expand(
-            fields_t, crank, interpret=config.pallas_interpret
+        )
+        offsets_p = jnp.cumsum(counts_p) - counts_p
+        total = jnp.where(
+            N > 0, offsets_p[-1] + counts_p[-1], 0
+        ).astype(jnp.int32)
+        fields_t = jnp.stack(
+            [offsets_p, span_x_p, tx_min_p, ty_min_p, index_p], axis=0
+        )  # (5, N) depth-sorted, compacted-first
+        g = segment_expand_offsets(
+            fields_t, capacity, interpret=config.pallas_interpret
         )[:, :capacity]
         g_off = g[0].astype(jnp.int32)
         g_sx = g[1].astype(jnp.int32)
         g_tx = g[2].astype(jnp.int32)
         g_ty = g[3].astype(jnp.int32)
-        g_depth = g[4]
+        g_gid = g[4].astype(jnp.int32)
+
+        in_range = slot < total
+        k = slot - g_off
+        sx = jnp.maximum(g_sx, 1)
+        ky = k // sx
+        kx = k - ky * sx
+        tile_buf = jnp.where(
+            in_range, (g_ty + ky) * tw + (g_tx + kx), n_tiles
+        )
+        gid_buf = jnp.where(in_range, g_gid, -1)
+
+        # Stable sort on the tile key alone: within a tile, slots are
+        # already depth-ascending (presort), ties by original index — the
+        # same order the reference's sort-by-depth-then-stable-sort-by-tile
+        # produces (binning.py:217-231), with one payload operand fewer.
+        sorted_tile, sorted_gid = jax.lax.sort(
+            (tile_buf, gid_buf), num_keys=1, is_stable=True
+        )
     else:
+        # Oracle route: same depth-presorted emission as the pallas route
+        # (so the two routes drop the SAME farthest-depth intersections
+        # whenever `capacity` overflows — a policy parity tests rely on),
+        # with the slot-owner map built by pure-XLA scatter + cumsum.
+        _, depths_p, counts_pf, span_x_p, tx_min_p, ty_min_p, index_p = (
+            jax.lax.sort(
+                (
+                    (counts == 0).astype(jnp.int32),  # nonzero-count first
+                    depths.astype(jnp.float32),
+                    counts.astype(jnp.float32),
+                    span_x.astype(jnp.float32),
+                    tx_min.astype(jnp.float32),
+                    ty_min.astype(jnp.float32),
+                    jnp.arange(N, dtype=jnp.float32),
+                ),
+                num_keys=2,
+                is_stable=True,
+            )
+        )
+        counts_p = counts_pf.astype(jnp.int32)
+        offsets = jnp.cumsum(counts_p) - counts_p  # exclusive prefix sum
+        total = jnp.where(
+            N > 0, offsets[-1] + counts_p[-1], 0
+        ).astype(jnp.int32)
+
+        # Segmented expansion by prefix sums — the TPU-native replacement
+        # for the reference's per-gaussian emission loop (binning.py:
+        # 170-209). Each (depth-ranked) gaussian owns the slot range
+        # [offsets[i], offsets[i]+counts[i]); instead of scattering every
+        # candidate (tile, gaussian) pair (cost ~ N*span^2 scatter updates —
+        # measured 15-90x slower than the real intersection count), we
+        # scatter-add ONE segment head per gaussian (N updates) and recover
+        # the owner of every slot with a cumulative sum:
+        #   head[offsets[i]] += 1  =>  rank[j] = cumsum(head)[j] - 1
+        # Zero-count gaussians share their offset with the next gaussian;
+        # the adds accumulate there and the cumsum resolves each slot to the
+        # LAST gaussian starting at-or-before it, which is the unique
+        # non-empty owner. Total cost is O(N + capacity), independent of
+        # max_tile_span.
+        head = jnp.zeros((capacity,), jnp.int32)
+        head = head.at[offsets].add(1, mode="drop")
+        rank_buf = jnp.cumsum(head) - 1  # (capacity,) owner depth-rank
+
+        in_range = (slot < total) & (rank_buf >= 0)
+        safe_rank = jnp.clip(rank_buf, 0, N - 1)
         # ONE packed row-gather of the per-gaussian fields (XLA's TPU gather
-        # is scalar-core bound per row: five 1D gathers cost ~5x one 5-wide
+        # is scalar-core bound per row: six 1D gathers cost ~6x one 6-wide
         # row gather). Integer fields round-trip exactly through f32 (tile
-        # grids and offsets are far below 2^24).
+        # grids, offsets and indices are far below 2^24).
         fields = jnp.stack(
             [
                 offsets.astype(jnp.float32),
-                span_x.astype(jnp.float32),
-                tx_min.astype(jnp.float32),
-                ty_min.astype(jnp.float32),
-                depths.astype(jnp.float32),
+                span_x_p,
+                tx_min_p,
+                ty_min_p,
+                depths_p,
+                index_p,
             ],
             axis=-1,
-        )  # (N, 5)
-        g = fields[safe_gid]  # (capacity, 5)
+        )  # (N, 6) depth-sorted, compacted-first
+        g = fields[safe_rank]  # (capacity, 6)
         g_off = g[:, 0].astype(jnp.int32)
         g_sx = g[:, 1].astype(jnp.int32)
         g_tx = g[:, 2].astype(jnp.int32)
         g_ty = g[:, 3].astype(jnp.int32)
         g_depth = g[:, 4]
+        g_gid = g[:, 5].astype(jnp.int32)
 
-    k = slot - g_off
-    sx = jnp.maximum(g_sx, 1)
-    ky = k // sx
-    kx = k - ky * sx
-    tile_buf = jnp.where(
-        in_range, (g_ty + ky) * tw + (g_tx + kx), n_tiles
-    )
-    gid_buf = jnp.where(in_range, safe_gid, -1)
-    depth_buf = jnp.where(in_range, g_depth, jnp.inf)
+        k = slot - g_off
+        sx = jnp.maximum(g_sx, 1)
+        ky = k // sx
+        kx = k - ky * sx
+        tile_buf = jnp.where(
+            in_range, (g_ty + ky) * tw + (g_tx + kx), n_tiles
+        )
+        gid_buf = jnp.where(in_range, g_gid, -1)
+        depth_buf = jnp.where(in_range, g_depth, jnp.inf)
 
-    # One stable lexicographic sort on (tile, depth) — the torch backend's
-    # two-pass argsort (binning.py:223-229) collapsed into a single fused sort.
-    sorted_tile, _, sorted_gid = jax.lax.sort(
-        (tile_buf, depth_buf, gid_buf), num_keys=2, is_stable=True
-    )
+        # One stable lexicographic sort on (tile, depth) — the torch
+        # backend's two-pass argsort (binning.py:223-229) collapsed into a
+        # single fused sort. (Emission is already depth-ordered, so the
+        # depth key is redundant here; it stays as the oracle's independent
+        # statement of the ordering contract.)
+        sorted_tile, _, sorted_gid = jax.lax.sort(
+            (tile_buf, depth_buf, gid_buf), num_keys=2, is_stable=True
+        )
 
     # Per-tile [start, end) ranges via one searchsorted (binning.py:252-256).
     boundaries = jnp.searchsorted(

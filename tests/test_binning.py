@@ -177,6 +177,35 @@ def test_capacity_overflow_counted():
     assert int(res.aux.num_isects) == 4
 
 
+def test_overflow_drops_farthest_and_routes_agree():
+    # Under capacity overflow both routes must keep the NEAREST
+    # intersections (depth-prioritized truncation) and agree exactly.
+    rng = np.random.RandomState(7)
+    n = 64
+    means = rng.uniform(0, 64, (n, 2))
+    radii = np.full((n, 2), 9)  # ~4 tiles each at ts=16
+    depths = rng.uniform(1.0, 10.0, n)
+    cap = 32  # far below the real intersection count
+    cfg_p = RenderConfig(
+        raster_impl="pallas", pallas_interpret=True
+    )
+    rx = run_binning(means, radii, depths, 64, 64, config=CFG, capacity=cap)
+    rp = run_binning(means, radii, depths, 64, 64, config=cfg_p, capacity=cap)
+    assert int(rx.aux.capacity_overflow) > 0
+    assert np.array_equal(np.asarray(rx.tile_ids), np.asarray(rp.tile_ids))
+    assert np.array_equal(
+        np.asarray(rx.gaussian_ids), np.asarray(rp.gaussian_ids)
+    )
+    assert np.array_equal(
+        np.asarray(rx.tile_ranges), np.asarray(rp.tile_ranges)
+    )
+    # Every kept gaussian is nearer than every dropped one.
+    kept = set(int(g) for g in np.asarray(rx.gaussian_ids) if g >= 0)
+    order = np.argsort(depths, kind="stable")
+    kept_ranks = [i for i, g in enumerate(order) if int(g) in kept]
+    assert max(kept_ranks) == len(kept_ranks) - 1  # a depth-prefix
+
+
 def test_capacity_helper_rounds_up():
     assert isect_capacity(1, CFG) == 1024
     assert isect_capacity(1000, CFG) % 1024 == 0

@@ -10,11 +10,11 @@ Gaussians are pre-sorted so that all with nonzero tile count come first (the
 binning presort), hence ``offsets`` (exclusive prefix sum of tile counts) is
 non-decreasing and gaussian w owns the slot range [offs_w, offs_{w+1}).
 A chunk of R consecutive slots is then owned by a *band* of at most R+1
-consecutive gaussians, so each grid step DMAs its window of per-gaussian
-field rows sequentially and builds the ownership one-hot directly from the
-offsets row as an adjacent difference of less-or-equal comparisons:
+consecutive gaussians, so each grid step streams its window of per-gaussian
+field rows sequentially from HBM and builds the ownership one-hot directly
+from the offsets as an interval test per (gaussian row, slot lane):
 
-    S[w, r] = [offs_w <= slot_r] - [offs_{w+1} <= slot_r]
+    S[w, r] = [offs_w <= slot_r] & [offs_{w+1} > slot_r]
             = [gaussian base+w owns slot r]
 
 (zero-count gaussians inside the window have offs_w == offs_{w+1} and drop
@@ -22,7 +22,10 @@ out natively), then expands with one matmul on the MXU:
 
     out[:, r] = sum_w S[w, r] * fields[:, base + w]
 
-All HBM traffic is sequential; no scatter, no 4M cumsum, no rank array.
+The interval test needs the offsets sublane-major; one small (1, W)
+transpose per chunk provides it. DMAs are double-buffered: chunk c+1's copy
+is issued before chunk c's compute, so the ~8192 per-chunk DMA latencies
+overlap compute instead of serializing.
 """
 
 from __future__ import annotations
@@ -38,36 +41,51 @@ _R = 512  # slots per grid step
 _W = _R + 256  # gaussian-row window per chunk (band + 128-alignment slack)
 _FPAD = 8  # field-major sublane count (fields padded up to this)
 
+# Offset sentinel for padded rows: large, finite (0 * inf in the expand
+# matmul would poison rows with NaN), exactly representable in f32.
+_SENTINEL = 2.0**30
+
+
+def _dma(c, fields_hbm, fbuf, sem, bases_ref):
+    buf = c % 2
+    base = pl.multiple_of((bases_ref[c] // 128) * 128, 128)
+    return pltpu.make_async_copy(
+        fields_hbm.at[:, pl.ds(base, _W)], fbuf.at[buf], sem.at[buf]
+    )
+
 
 def _kernel(bases_ref, fields_hbm, out_ref, fbuf, sem, *, F):
     c = pl.program_id(0)
-    base = pl.multiple_of((bases_ref[c] // 128) * 128, 128)
+    n = pl.num_programs(0)
 
-    fdma = pltpu.make_async_copy(
-        fields_hbm.at[:, pl.ds(base, _W)], fbuf, sem
-    )
-    fdma.start()
-    fdma.wait()
+    @pl.when(c == 0)
+    def _():
+        _dma(0, fields_hbm, fbuf, sem, bases_ref).start()
 
-    # Offsets of the window's gaussians, both lane-major (row 0 as DMA'd)
-    # and sublane-major (for the (W, R) ownership comparison). The sublane
-    # copy comes from a VMEM transpose of the single offsets row.
-    offs_lanes = fbuf[0:1, :]  # (1, W)
-    offs_col = jax.lax.transpose(offs_lanes, (1, 0))  # (W, 1)
+    @pl.when(c + 1 < n)
+    def _():
+        _dma(c + 1, fields_hbm, fbuf, sem, bases_ref).start()
+
+    _dma(c, fields_hbm, fbuf, sem, bases_ref).wait()
+    buf = c % 2
+
+    # Offsets as a (W, 1) sublane-major column for the interval test (the
+    # DMA'd rows are lane-major). One small transpose per chunk.
+    offs = jax.lax.transpose(fbuf[buf, 0:1, :], (1, 0))  # (W, 1)
+    # offs_{w+1}, via a sublane roll of the column (cheap: 1 lane wide).
+    # Row W-1 wraps junk; overwrite with the sentinel so it owns nothing
+    # (the band guarantee keeps real owners below it anyway).
+    nxt = pltpu.roll(offs, _W - 1, axis=0)
+    row = jax.lax.broadcasted_iota(jnp.int32, (_W, 1), 0)
+    nxt = jnp.where(row < _W - 1, nxt, _SENTINEL)
 
     slots = (
         jnp.float32(c * _R)
         + jax.lax.broadcasted_iota(jnp.int32, (1, _R), 1).astype(jnp.float32)
     )  # (1, R) exact small ints
-    le = (offs_col <= slots).astype(jnp.float32)  # (W, R)
-    # S[w] = le[w] - le[w+1]; the last row wraps junk under the circular
-    # roll, but the band guarantee (owners fit in W-1 rows) plus the mask
-    # below keeps it out of the result.
-    le_next = pltpu.roll(le, _W - 1, axis=0)  # row w holds le[w+1]
-    row = jax.lax.broadcasted_iota(jnp.int32, (_W, _R), 0)
-    onehot = jnp.where(row < _W - 1, le - le_next, 0.0)  # (W, R)
+    onehot = ((offs <= slots) & (nxt > slots)).astype(jnp.float32)  # (W, R)
     out_ref[...] = jax.lax.dot_general(
-        fbuf[...], onehot, (((1,), (0,)), ((), ())),
+        fbuf[buf], onehot, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.HIGHEST,
     )  # (_FPAD, R)
@@ -96,11 +114,8 @@ def segment_expand_offsets(fields_t, capacity, interpret=False):
     fields_p = jnp.pad(
         fields_t.astype(jnp.float32), ((0, _FPAD - F), (0, _W + 128))
     )
-    # Sentinel on the padded tail of the offsets row only: rows past N must
-    # own no slot, so their offset must exceed every slot index. Large
-    # FINITE value (not inf): the ownership one-hot multiplies it by 0 in
-    # the MXU expand, and 0 * inf would poison the row with NaN.
-    fields_p = fields_p.at[0, N:].set(jnp.float32(2.0**30))
+    # Sentinel tail on the offsets row: rows past N own no slot.
+    fields_p = fields_p.at[0, N:].set(_SENTINEL)
 
     # Owner rank of each chunk's first slot: one small searchsorted
     # (n_chunks queries into N) replaces the old scatter + 4M cumsum.
@@ -116,8 +131,8 @@ def segment_expand_offsets(fields_t, capacity, interpret=False):
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec((_FPAD, _R), lambda c, b: (0, c)),
         scratch_shapes=[
-            pltpu.VMEM((_FPAD, _W), jnp.float32),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, _FPAD, _W), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     out = pl.pallas_call(

@@ -22,10 +22,11 @@ out natively), then expands with one matmul on the MXU:
 
     out[:, r] = sum_w S[w, r] * fields[:, base + w]
 
-The interval test needs the offsets sublane-major; one small (1, W)
-transpose per chunk provides it. DMAs are double-buffered: chunk c+1's copy
-is issued before chunk c's compute, so the ~8192 per-chunk DMA latencies
-overlap compute instead of serializing.
+Each grid step owns _S consecutive chunks sharing one double-buffered DMA
+window (per-step overhead and DMA latency amortize _S-fold while the
+per-slot one-hot stays _W wide); sub-chunk windows are lane slices at
+128-aligned offsets within the superwindow. The interval test needs the
+offsets sublane-major; one small (1, W) transpose per chunk provides it.
 """
 
 from __future__ import annotations
@@ -37,58 +38,106 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_R = 512  # slots per grid step
+_R = 512  # slots per chunk (one one-hot + expand matmul)
 _W = _R + 256  # gaussian-row window per chunk (band + 128-alignment slack)
+_S = 4  # chunks per grid step (shared DMA superwindow)
+_WS = _S * _R + 256  # superwindow rows; sub-chunk j starts <= j*_R within it
 _FPAD = 8  # field-major sublane count (fields padded up to this)
 
 # Offset sentinel for padded rows: large, finite (0 * inf in the expand
-# matmul would poison rows with NaN), exactly representable in f32.
+# matmul would poison rows with NaN), exactly representable in f32 and bf16
+# (a power of two, so the hi limb carries it alone).
 _SENTINEL = 2.0**30
 
 
-def _dma(c, fields_hbm, fbuf, sem, bases_ref):
-    buf = c % 2
-    base = pl.multiple_of((bases_ref[c] // 128) * 128, 128)
+def _floor128(x):
+    return pl.multiple_of((x // 128) * 128, 128)
+
+
+def _dma(s, fields_hbm, fbuf, sem, bases_ref):
+    buf = s % 2
+    base = _floor128(bases_ref[s * _S])
     return pltpu.make_async_copy(
-        fields_hbm.at[:, pl.ds(base, _W)], fbuf.at[buf], sem.at[buf]
+        fields_hbm.at[:, pl.ds(base, _WS)], fbuf.at[buf], sem.at[buf]
     )
 
 
-def _kernel(bases_ref, fields_hbm, out_ref, fbuf, sem, *, F):
-    c = pl.program_id(0)
+def _kernel(bases_ref, fields_hbm, out_ref, fbuf, hi_ref, mid_ref, lo_ref,
+            sem, *, F):
+    s = pl.program_id(0)
     n = pl.num_programs(0)
 
-    @pl.when(c == 0)
+    @pl.when(s == 0)
     def _():
         _dma(0, fields_hbm, fbuf, sem, bases_ref).start()
 
-    @pl.when(c + 1 < n)
+    @pl.when(s + 1 < n)
     def _():
-        _dma(c + 1, fields_hbm, fbuf, sem, bases_ref).start()
+        _dma(s + 1, fields_hbm, fbuf, sem, bases_ref).start()
 
-    _dma(c, fields_hbm, fbuf, sem, bases_ref).wait()
-    buf = c % 2
+    _dma(s, fields_hbm, fbuf, sem, bases_ref).wait()
+    buf = s % 2
 
-    # Offsets as a (W, 1) sublane-major column for the interval test (the
-    # DMA'd rows are lane-major). One small transpose per chunk.
-    offs = jax.lax.transpose(fbuf[buf, 0:1, :], (1, 0))  # (W, 1)
-    # offs_{w+1}, via a sublane roll of the column (cheap: 1 lane wide).
-    # Row W-1 wraps junk; overwrite with the sentinel so it owns nothing
-    # (the band guarantee keeps real owners below it anyway).
-    nxt = pltpu.roll(offs, _W - 1, axis=0)
-    row = jax.lax.broadcasted_iota(jnp.int32, (_W, 1), 0)
-    nxt = jnp.where(row < _W - 1, nxt, _SENTINEL)
+    # Exact expand in 3 MXU passes instead of HIGHEST's 6: the one-hot is
+    # exactly bf16 (0/1), so only the fields operand needs limb splitting.
+    # All field values are non-negative integers <= 2^22 (offsets bounded by
+    # the slot capacity; the sentinel is a power of two), so three 8-bit bf16
+    # limbs reconstruct them exactly: hi = rne(a) errs <= 2^13, r1 = a - hi
+    # is exact in f32 and errs <= 2^4 after the mid limb, and the residue is
+    # an integer < 2^8, exact in bf16. Each limb x {0,1} product accumulates
+    # in f32 on the MXU, and the final three-term f32 sum of integers < 2^24
+    # is exact. Split once per superwindow into VMEM scratch; sub-chunk
+    # windows are then ref loads at dynamic (128-multiple) lane offsets —
+    # Mosaic has no dynamic_slice on values.
+    f = fbuf[buf]  # (_FPAD, _WS)
+    hi = f.astype(jnp.bfloat16)
+    r1 = f - hi.astype(jnp.float32)
+    mid = r1.astype(jnp.bfloat16)
+    hi_ref[...] = hi
+    mid_ref[...] = mid
+    lo_ref[...] = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
 
-    slots = (
-        jnp.float32(c * _R)
-        + jax.lax.broadcasted_iota(jnp.int32, (1, _R), 1).astype(jnp.float32)
-    )  # (1, R) exact small ints
-    onehot = ((offs <= slots) & (nxt > slots)).astype(jnp.float32)  # (W, R)
-    out_ref[...] = jax.lax.dot_general(
-        fbuf[buf], onehot, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    )  # (_FPAD, R)
+    base0 = _floor128(bases_ref[s * _S])
+    for j in range(_S):
+        # Sub-chunk window start within the superwindow: difference of two
+        # 128-floored bases, hence itself a multiple of 128 (bases advance
+        # at most _R rows per chunk, so delta + _W <= _WS always).
+        delta = pl.multiple_of(
+            _floor128(bases_ref[s * _S + j]) - base0, 128
+        )
+
+        # Offsets of the window's gaussians as a (_W, 1) sublane-major
+        # column for the interval test (the DMA'd rows are lane-major).
+        offs = jax.lax.transpose(
+            fbuf[buf, 0:1, pl.ds(delta, _W)], (1, 0)
+        )  # (_W, 1)
+        # offs_{w+1}, via a sublane roll of the column (cheap: 1 lane
+        # wide). Row _W-1 wraps junk; overwrite with the sentinel so it
+        # owns nothing (the band keeps real owners below it anyway).
+        nxt = pltpu.roll(offs, _W - 1, axis=0)
+        row = jax.lax.broadcasted_iota(jnp.int32, (_W, 1), 0)
+        nxt = jnp.where(row < _W - 1, nxt, _SENTINEL)
+
+        slots = (
+            (s * _S + j) * _R
+            + jax.lax.broadcasted_iota(jnp.int32, (1, _R), 1)
+        ).astype(jnp.float32)  # (1, R) exact small ints
+        onehot = ((offs <= slots) & (nxt > slots)).astype(
+            jnp.bfloat16
+        )  # (_W, _R)
+
+        def limb_dot(limb_ref, delta=delta, onehot=onehot):
+            window = limb_ref[:, pl.ds(delta, _W)]  # (_FPAD, _W) bf16
+            return jax.lax.dot_general(
+                window, onehot,
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.DEFAULT,
+            )  # (_FPAD, _R)
+
+        out_ref[:, j * _R : (j + 1) * _R] = (
+            limb_dot(hi_ref) + limb_dot(mid_ref) + limb_dot(lo_ref)
+        )
 
 
 def segment_expand_offsets(fields_t, capacity, interpret=False):
@@ -107,12 +156,13 @@ def segment_expand_offsets(fields_t, capacity, interpret=False):
     F, N = fields_t.shape
     if F > _FPAD:
         raise ValueError(f"at most {_FPAD} fields, got {F}")
-    m_pad = -(-capacity // _R) * _R
+    step = _S * _R
+    m_pad = -(-capacity // step) * step
     n_chunks = m_pad // _R
 
     offsets = fields_t[0]
     fields_p = jnp.pad(
-        fields_t.astype(jnp.float32), ((0, _FPAD - F), (0, _W + 128))
+        fields_t.astype(jnp.float32), ((0, _FPAD - F), (0, _WS + 128))
     )
     # Sentinel tail on the offsets row: rows past N own no slot.
     fields_p = fields_p.at[0, N:].set(_SENTINEL)
@@ -127,11 +177,14 @@ def segment_expand_offsets(fields_t, capacity, interpret=False):
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(n_chunks,),
+        grid=(m_pad // step,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
-        out_specs=pl.BlockSpec((_FPAD, _R), lambda c, b: (0, c)),
+        out_specs=pl.BlockSpec((_FPAD, step), lambda s, b: (0, s)),
         scratch_shapes=[
-            pltpu.VMEM((2, _FPAD, _W), jnp.float32),
+            pltpu.VMEM((2, _FPAD, _WS), jnp.float32),
+            pltpu.VMEM((_FPAD, _WS), jnp.bfloat16),  # hi limb
+            pltpu.VMEM((_FPAD, _WS), jnp.bfloat16),  # mid limb
+            pltpu.VMEM((_FPAD, _WS), jnp.bfloat16),  # lo limb
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )

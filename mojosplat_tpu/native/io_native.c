@@ -353,6 +353,217 @@ write_png(PyObject *self, PyObject *args)
     Py_RETURN_NONE;
 }
 
+/* --------------------------------------------------------------- COLMAP */
+
+/* Binary COLMAP sparse-reconstruction parsers (cameras.bin / images.bin /
+ * points3D.bin) — the standard SfM input of 3DGS training pipelines. The
+ * reference has no dataset loading of any kind (its only scene source is a
+ * random cloud, /root/reference/render_sample.py:86-109); this supplies the
+ * native data-loader runtime for training on real captures. Bytes-based API
+ * like the PLY loader; mojosplat_tpu/utils/colmap.py does the array
+ * viewing and carries a pure-Python fallback. */
+
+static int
+colmap_num_params(int model_id)
+{
+    switch (model_id) {
+    case 0: return 3;   /* SIMPLE_PINHOLE: f, cx, cy */
+    case 1: return 4;   /* PINHOLE: fx, fy, cx, cy */
+    case 2: return 4;   /* SIMPLE_RADIAL */
+    case 3: return 5;   /* RADIAL */
+    case 4: return 8;   /* OPENCV */
+    case 5: return 8;   /* OPENCV_FISHEYE */
+    case 6: return 12;  /* FULL_OPENCV */
+    case 7: return 5;   /* FOV */
+    case 8: return 4;   /* SIMPLE_RADIAL_FISHEYE */
+    case 9: return 5;   /* RADIAL_FISHEYE */
+    case 10: return 12; /* THIN_PRISM_FISHEYE */
+    default: return -1;
+    }
+}
+
+static int
+read_exact(FILE *f, void *dst, size_t n)
+{
+    return fread(dst, 1, n, f) == n ? 0 : -1;
+}
+
+static PyObject *
+load_colmap_cameras(PyObject *self, PyObject *args)
+{
+    const char *path;
+    if (!PyArg_ParseTuple(args, "s", &path))
+        return NULL;
+    FILE *f = fopen(path, "rb");
+    if (!f)
+        return PyErr_Format(PyExc_FileNotFoundError, "cannot open %s", path);
+
+    uint64_t n;
+    if (read_exact(f, &n, 8)) {
+        fclose(f);
+        return PyErr_Format(PyExc_ValueError, "%s: truncated header", path);
+    }
+    PyObject *out = PyList_New(0);
+    if (!out) {
+        fclose(f);
+        return NULL;
+    }
+    for (uint64_t i = 0; i < n; i++) {
+        int32_t cam_id, model_id;
+        uint64_t width, height;
+        double params[12];
+        if (read_exact(f, &cam_id, 4) || read_exact(f, &model_id, 4) ||
+            read_exact(f, &width, 8) || read_exact(f, &height, 8))
+            goto trunc;
+        int np = colmap_num_params(model_id);
+        if (np < 0) {
+            fclose(f);
+            Py_DECREF(out);
+            return PyErr_Format(PyExc_ValueError,
+                                "%s: unknown camera model %d", path,
+                                (int)model_id);
+        }
+        if (read_exact(f, params, 8 * (size_t)np))
+            goto trunc;
+        PyObject *rec = Py_BuildValue(
+            "iiKKy#", (int)cam_id, (int)model_id,
+            (unsigned long long)width, (unsigned long long)height,
+            (const char *)params, (Py_ssize_t)(8 * np));
+        if (!rec || PyList_Append(out, rec) < 0) {
+            Py_XDECREF(rec);
+            fclose(f);
+            Py_DECREF(out);
+            return NULL;
+        }
+        Py_DECREF(rec);
+    }
+    fclose(f);
+    return out;
+trunc:
+    fclose(f);
+    Py_DECREF(out);
+    return PyErr_Format(PyExc_ValueError, "%s: truncated record", path);
+}
+
+static PyObject *
+load_colmap_images(PyObject *self, PyObject *args)
+{
+    const char *path;
+    if (!PyArg_ParseTuple(args, "s", &path))
+        return NULL;
+    FILE *f = fopen(path, "rb");
+    if (!f)
+        return PyErr_Format(PyExc_FileNotFoundError, "cannot open %s", path);
+
+    uint64_t n;
+    if (read_exact(f, &n, 8)) {
+        fclose(f);
+        return PyErr_Format(PyExc_ValueError, "%s: truncated header", path);
+    }
+    int32_t *ids = (int32_t *)malloc(n * 4 ? n * 4 : 4);
+    int32_t *cam_ids = (int32_t *)malloc(n * 4 ? n * 4 : 4);
+    double *qvecs = (double *)malloc(n * 32 ? n * 32 : 8);
+    double *tvecs = (double *)malloc(n * 24 ? n * 24 : 8);
+    PyObject *names = PyList_New(0);
+    if (!ids || !cam_ids || !qvecs || !tvecs || !names)
+        goto fail;
+
+    for (uint64_t i = 0; i < n; i++) {
+        if (read_exact(f, &ids[i], 4) || read_exact(f, &qvecs[i * 4], 32) ||
+            read_exact(f, &tvecs[i * 3], 24) || read_exact(f, &cam_ids[i], 4))
+            goto trunc;
+        char name[1024];
+        size_t ni = 0;
+        for (;;) {
+            int c = fgetc(f);
+            if (c == EOF)
+                goto trunc;
+            if (c == 0)
+                break;
+            if (ni < sizeof(name) - 1)
+                name[ni++] = (char)c;
+        }
+        name[ni] = 0;
+        PyObject *s = PyUnicode_DecodeUTF8(name, (Py_ssize_t)ni, "replace");
+        if (!s || PyList_Append(names, s) < 0) {
+            Py_XDECREF(s);
+            goto fail;
+        }
+        Py_DECREF(s);
+        uint64_t npts;
+        if (read_exact(f, &npts, 8))
+            goto trunc;
+        /* Skip the 2D observations: (double x, double y, int64 p3d_id). */
+        if (fseek(f, (long)(npts * 24), SEEK_CUR) != 0)
+            goto trunc;
+    }
+    fclose(f);
+    {
+        PyObject *out = Py_BuildValue(
+            "Ky#y#y#y#N", (unsigned long long)n,
+            (const char *)ids, (Py_ssize_t)(n * 4),
+            (const char *)qvecs, (Py_ssize_t)(n * 32),
+            (const char *)tvecs, (Py_ssize_t)(n * 24),
+            (const char *)cam_ids, (Py_ssize_t)(n * 4), names);
+        free(ids); free(cam_ids); free(qvecs); free(tvecs);
+        return out;
+    }
+trunc:
+    fclose(f);
+    free(ids); free(cam_ids); free(qvecs); free(tvecs);
+    Py_XDECREF(names);
+    return PyErr_Format(PyExc_ValueError, "%s: truncated record", path);
+fail:
+    fclose(f);
+    free(ids); free(cam_ids); free(qvecs); free(tvecs);
+    Py_XDECREF(names);
+    return PyErr_NoMemory();
+}
+
+static PyObject *
+load_colmap_points(PyObject *self, PyObject *args)
+{
+    const char *path;
+    if (!PyArg_ParseTuple(args, "s", &path))
+        return NULL;
+    FILE *f = fopen(path, "rb");
+    if (!f)
+        return PyErr_Format(PyExc_FileNotFoundError, "cannot open %s", path);
+
+    uint64_t n;
+    if (read_exact(f, &n, 8)) {
+        fclose(f);
+        return PyErr_Format(PyExc_ValueError, "%s: truncated header", path);
+    }
+    double *xyz = (double *)malloc(n * 24 ? n * 24 : 8);
+    uint8_t *rgb = (uint8_t *)malloc(n * 3 ? n * 3 : 4);
+    if (!xyz || !rgb) {
+        fclose(f);
+        free(xyz); free(rgb);
+        return PyErr_NoMemory();
+    }
+    for (uint64_t i = 0; i < n; i++) {
+        int64_t pid;
+        double err;
+        uint64_t track;
+        if (read_exact(f, &pid, 8) || read_exact(f, &xyz[i * 3], 24) ||
+            read_exact(f, &rgb[i * 3], 3) || read_exact(f, &err, 8) ||
+            read_exact(f, &track, 8) ||
+            fseek(f, (long)(track * 8), SEEK_CUR) != 0) {
+            fclose(f);
+            free(xyz); free(rgb);
+            return PyErr_Format(PyExc_ValueError, "%s: truncated record",
+                                path);
+        }
+    }
+    fclose(f);
+    PyObject *out = Py_BuildValue(
+        "Ky#y#", (unsigned long long)n, (const char *)xyz,
+        (Py_ssize_t)(n * 24), (const char *)rgb, (Py_ssize_t)(n * 3));
+    free(xyz); free(rgb);
+    return out;
+}
+
 /* ----------------------------------------------------------------- init */
 
 static PyMethodDef methods[] = {
@@ -362,6 +573,14 @@ static PyMethodDef methods[] = {
      "save_ply(path, property_names, n_vertex, float32_le_bytes)"},
     {"write_png", write_png, METH_VARARGS,
      "write_png(path, H, W, C, uint8_bytes)"},
+    {"load_colmap_cameras", load_colmap_cameras, METH_VARARGS,
+     "load_colmap_cameras(path) -> [(camera_id, model_id, width, height, "
+     "params_f64le_bytes)]"},
+    {"load_colmap_images", load_colmap_images, METH_VARARGS,
+     "load_colmap_images(path) -> (n, ids_i32, qvecs_f64 (n,4) wxyz, "
+     "tvecs_f64 (n,3), camera_ids_i32, names)"},
+    {"load_colmap_points", load_colmap_points, METH_VARARGS,
+     "load_colmap_points(path) -> (n, xyz_f64 (n,3), rgb_u8 (n,3))"},
     {NULL, NULL, 0, NULL},
 };
 

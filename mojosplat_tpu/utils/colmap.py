@@ -1,0 +1,261 @@
+"""COLMAP sparse-reconstruction loading + 3DGS scene initialization.
+
+The standard 3DGS training pipeline consumes a COLMAP capture (``sparse/0``
+with ``cameras.bin`` / ``images.bin`` / ``points3D.bin`` plus an ``images/``
+directory). The reference has no dataset loading of any kind — its only
+scene source is a random cloud (/root/reference/render_sample.py:86-109) —
+so this module supplies the training-data path: binary parsing via the
+native C runtime (mojosplat_tpu/native/io_native.c) with a pure-Python
+struct fallback, conversion of COLMAP's world-to-camera (qvec, tvec) pose
+convention into our :class:`Camera` (COLMAP and gsplat share the +X right,
++Y down, +Z forward convention), and the standard 3DGS parameter
+initialization from the SfM point cloud (means at the points, SH DC from
+point colors, log-scales from mean nearest-neighbor distance, opacity
+logits at 0.1).
+"""
+
+from __future__ import annotations
+
+import os
+import struct
+from dataclasses import dataclass
+
+import numpy as np
+
+from ..native import get_native
+from ..ops.sh import num_sh_bases
+
+# COLMAP camera-model parameter counts, by model id.
+_MODEL_PARAMS = {0: 3, 1: 4, 2: 4, 3: 5, 4: 8, 5: 8, 6: 12, 7: 5, 8: 4,
+                 9: 5, 10: 12}
+# Models whose leading params are (f|fx fy) cx cy (we ignore distortion
+# terms beyond those — 3DGS assumes undistorted inputs).
+_SINGLE_FOCAL = {0, 2, 3, 7, 8, 9}
+
+
+@dataclass
+class ColmapCamera:
+    camera_id: int
+    model_id: int
+    width: int
+    height: int
+    params: np.ndarray  # (num_params,) float64
+
+
+@dataclass
+class ColmapImage:
+    image_id: int
+    qvec: np.ndarray  # (4,) wxyz, world-to-camera rotation
+    tvec: np.ndarray  # (3,) world-to-camera translation
+    camera_id: int
+    name: str
+
+
+def _read_cameras_python(path: str) -> list[ColmapCamera]:
+    out = []
+    with open(path, "rb") as f:
+        (n,) = struct.unpack("<Q", f.read(8))
+        for _ in range(n):
+            cam_id, model_id = struct.unpack("<ii", f.read(8))
+            width, height = struct.unpack("<QQ", f.read(16))
+            np_ = _MODEL_PARAMS.get(model_id)
+            if np_ is None:
+                raise ValueError(f"{path}: unknown camera model {model_id}")
+            params = np.frombuffer(f.read(8 * np_), dtype="<f8")
+            out.append(ColmapCamera(cam_id, model_id, width, height, params))
+    return out
+
+
+def _read_images_python(path: str) -> list[ColmapImage]:
+    out = []
+    with open(path, "rb") as f:
+        (n,) = struct.unpack("<Q", f.read(8))
+        for _ in range(n):
+            (image_id,) = struct.unpack("<i", f.read(4))
+            qvec = np.frombuffer(f.read(32), dtype="<f8").copy()
+            tvec = np.frombuffer(f.read(24), dtype="<f8").copy()
+            (camera_id,) = struct.unpack("<i", f.read(4))
+            name = b""
+            while True:
+                c = f.read(1)
+                if c in (b"", b"\x00"):
+                    break
+                name += c
+            (npts,) = struct.unpack("<Q", f.read(8))
+            f.seek(npts * 24, os.SEEK_CUR)
+            out.append(
+                ColmapImage(image_id, qvec, tvec, camera_id,
+                            name.decode("utf-8", "replace"))
+            )
+    return out
+
+
+def _read_points_python(path: str) -> tuple[np.ndarray, np.ndarray]:
+    xyzs, rgbs = [], []
+    with open(path, "rb") as f:
+        (n,) = struct.unpack("<Q", f.read(8))
+        for _ in range(n):
+            f.read(8)  # point3D_id
+            xyzs.append(np.frombuffer(f.read(24), dtype="<f8").copy())
+            rgbs.append(np.frombuffer(f.read(3), dtype=np.uint8).copy())
+            f.read(8)  # reprojection error
+            (track,) = struct.unpack("<Q", f.read(8))
+            f.seek(track * 8, os.SEEK_CUR)
+    if not xyzs:
+        return np.zeros((0, 3)), np.zeros((0, 3), np.uint8)
+    return np.stack(xyzs), np.stack(rgbs)
+
+
+def read_cameras_bin(path: str) -> list[ColmapCamera]:
+    nat = get_native()
+    if nat is None or not hasattr(nat, "load_colmap_cameras"):
+        return _read_cameras_python(path)
+    return [
+        ColmapCamera(cid, mid, w, h, np.frombuffer(p, dtype="<f8"))
+        for cid, mid, w, h, p in nat.load_colmap_cameras(path)
+    ]
+
+
+def read_images_bin(path: str) -> list[ColmapImage]:
+    nat = get_native()
+    if nat is None or not hasattr(nat, "load_colmap_images"):
+        return _read_images_python(path)
+    n, ids, qvecs, tvecs, cam_ids, names = nat.load_colmap_images(path)
+    ids = np.frombuffer(ids, dtype="<i4")
+    qvecs = np.frombuffer(qvecs, dtype="<f8").reshape(n, 4)
+    tvecs = np.frombuffer(tvecs, dtype="<f8").reshape(n, 3)
+    cam_ids = np.frombuffer(cam_ids, dtype="<i4")
+    return [
+        ColmapImage(int(ids[i]), qvecs[i].copy(), tvecs[i].copy(),
+                    int(cam_ids[i]), names[i])
+        for i in range(n)
+    ]
+
+
+def read_points3d_bin(path: str) -> tuple[np.ndarray, np.ndarray]:
+    """(xyz (P,3) f64, rgb (P,3) u8) of the sparse SfM point cloud."""
+    nat = get_native()
+    if nat is None or not hasattr(nat, "load_colmap_points"):
+        return _read_points_python(path)
+    n, xyz, rgb = nat.load_colmap_points(path)
+    return (
+        np.frombuffer(xyz, dtype="<f8").reshape(n, 3).copy(),
+        np.frombuffer(rgb, dtype=np.uint8).reshape(n, 3).copy(),
+    )
+
+
+def qvec_to_rotmat(q: np.ndarray) -> np.ndarray:
+    """COLMAP wxyz quaternion -> 3x3 rotation (same formula as the
+    projection stage's quat math, ops/projection.py)."""
+    w, x, y, z = q / np.linalg.norm(q)
+    return np.array(
+        [
+            [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)],
+            [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)],
+            [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)],
+        ]
+    )
+
+
+def camera_intrinsics(cam: ColmapCamera, downscale: int = 1):
+    """(fx, fy, cx, cy, W, H) from a COLMAP camera, optionally downscaled."""
+    p = cam.params
+    if cam.model_id in _SINGLE_FOCAL:
+        fx = fy = float(p[0])
+        cx, cy = float(p[1]), float(p[2])
+    else:
+        fx, fy, cx, cy = map(float, p[:4])
+    s = float(downscale)
+    return (fx / s, fy / s, cx / s, cy / s,
+            int(cam.width // downscale), int(cam.height // downscale))
+
+
+@dataclass
+class ColmapScene:
+    """A parsed COLMAP capture, ready for training."""
+
+    cameras: dict[int, ColmapCamera]
+    images: list[ColmapImage]
+    points_xyz: np.ndarray  # (P, 3) float32
+    points_rgb: np.ndarray  # (P, 3) float32 in [0, 1]
+
+    def camera_for(self, image: ColmapImage, downscale: int = 1):
+        """Build a render Camera (jax pytree) for one registered image."""
+        from ..camera import Camera
+
+        cam = self.cameras[image.camera_id]
+        fx, fy, cx, cy, W, H = camera_intrinsics(cam, downscale)
+        return Camera.create(
+            R=qvec_to_rotmat(image.qvec).astype(np.float32),
+            T=image.tvec.astype(np.float32),
+            H=H, W=W, fx=fx, fy=fy, cx=cx, cy=cy,
+        )
+
+
+def load_scene(sparse_dir: str) -> ColmapScene:
+    """Load ``cameras.bin`` / ``images.bin`` / ``points3D.bin`` from a COLMAP
+    sparse-model directory (typically ``<capture>/sparse/0``)."""
+    cams = read_cameras_bin(os.path.join(sparse_dir, "cameras.bin"))
+    images = read_images_bin(os.path.join(sparse_dir, "images.bin"))
+    xyz, rgb = read_points3d_bin(os.path.join(sparse_dir, "points3D.bin"))
+    return ColmapScene(
+        cameras={c.camera_id: c for c in cams},
+        images=sorted(images, key=lambda im: im.name),
+        points_xyz=xyz.astype(np.float32),
+        points_rgb=rgb.astype(np.float32) / 255.0,
+    )
+
+
+def init_gaussians_from_points(
+    xyz: np.ndarray,
+    rgb: np.ndarray,
+    sh_degree: int | None = 3,
+    init_opacity: float = 0.1,
+) -> dict:
+    """Standard 3DGS initialization from an SfM point cloud.
+
+    Means at the points; SH DC from colors (C0 = 0.28209479); isotropic
+    log-scales at the log of each point's mean distance to its 3 nearest
+    neighbors (the INRIA heuristic); opacity logits at
+    ``logit(init_opacity)``. Returns the raw (trainable) parameter pytree of
+    train.init_gaussians.
+    """
+    n = xyz.shape[0]
+    d3 = _mean_knn_dist(xyz.astype(np.float32), k=3)
+    log_scales = np.log(np.clip(d3, 1e-7, None))[:, None].repeat(3, axis=1)
+    quats = np.zeros((n, 4), np.float32)
+    quats[:, 0] = 1.0
+    opac = np.full((n,), float(np.log(init_opacity / (1 - init_opacity))),
+                   np.float32)
+    dc = (rgb.astype(np.float32) - 0.5) / 0.28209479177387814
+    if sh_degree is None:
+        features = rgb.astype(np.float32)
+    else:
+        K = num_sh_bases(sh_degree)
+        features = np.zeros((n, K, 3), np.float32)
+        features[:, 0, :] = dc
+    return dict(
+        means3d=xyz.astype(np.float32),
+        scales=log_scales.astype(np.float32),
+        quats=quats,
+        opacities_raw=opac,
+        features=features,
+    )
+
+
+def _mean_knn_dist(xyz: np.ndarray, k: int = 3,
+                   block: int = 4096) -> np.ndarray:
+    """Mean distance to the k nearest neighbors, blocked O(N^2) numpy (SfM
+    clouds are ~1e5 points; fine on CPU)."""
+    n = xyz.shape[0]
+    if n <= k:
+        return np.ones((n,), np.float32)
+    out = np.empty((n,), np.float32)
+    sq = (xyz**2).sum(-1)
+    for i0 in range(0, n, block):
+        i1 = min(i0 + block, n)
+        d2 = sq[i0:i1, None] - 2.0 * xyz[i0:i1] @ xyz.T + sq[None, :]
+        np.fill_diagonal(d2[:, i0:i1], np.inf)
+        part = np.partition(d2, k, axis=1)[:, :k]
+        out[i0:i1] = np.sqrt(np.clip(part, 0, None)).mean(axis=1)
+    return out

@@ -1,0 +1,194 @@
+"""COLMAP binary parsing + 3DGS point-cloud initialization tests.
+
+A synthetic COLMAP sparse model (cameras.bin / images.bin / points3D.bin)
+is written with struct.pack following the documented binary layout, then
+parsed with both the native C loader and the pure-Python fallback; both
+must agree. The reference has no dataset loading to mirror — these test the
+capability it lacks (its only scene source is a random cloud,
+/root/reference/render_sample.py:86-109).
+"""
+
+import struct
+
+import numpy as np
+import pytest
+
+from mojosplat_tpu.native import get_native
+from mojosplat_tpu.utils import colmap as cm
+
+
+@pytest.fixture(scope="module")
+def sparse_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("sparse0")
+    # cameras.bin: one PINHOLE (id 1) and one SIMPLE_PINHOLE (id 2).
+    with open(d / "cameras.bin", "wb") as f:
+        f.write(struct.pack("<Q", 2))
+        f.write(struct.pack("<iiQQ", 1, 1, 640, 480))
+        f.write(struct.pack("<4d", 500.0, 505.0, 320.0, 240.0))
+        f.write(struct.pack("<iiQQ", 2, 0, 320, 240))
+        f.write(struct.pack("<3d", 250.0, 160.0, 120.0))
+    # images.bin: two registered images, the second with 2D observations
+    # that must be skipped correctly.
+    q1 = np.array([1.0, 0.0, 0.0, 0.0])
+    t1 = np.array([0.1, -0.2, 3.0])
+    q2 = np.array([0.5, 0.5, 0.5, 0.5])
+    t2 = np.array([-1.0, 0.0, 5.0])
+    with open(d / "images.bin", "wb") as f:
+        f.write(struct.pack("<Q", 2))
+        f.write(struct.pack("<i", 10))
+        f.write(struct.pack("<4d", *q1))
+        f.write(struct.pack("<3d", *t1))
+        f.write(struct.pack("<i", 1))
+        f.write(b"frame_b.png\x00")
+        f.write(struct.pack("<Q", 0))
+        f.write(struct.pack("<i", 11))
+        f.write(struct.pack("<4d", *q2))
+        f.write(struct.pack("<3d", *t2))
+        f.write(struct.pack("<i", 2))
+        f.write(b"frame_a.png\x00")
+        f.write(struct.pack("<Q", 3))
+        for j in range(3):
+            f.write(struct.pack("<ddq", 1.0 * j, 2.0 * j, -1))
+    # points3D.bin: three points, varying track lengths.
+    pts = np.array([[0.0, 0.0, 4.0], [1.0, -1.0, 6.0], [0.5, 0.5, 5.0]])
+    rgbs = np.array([[255, 0, 0], [0, 128, 0], [10, 20, 250]], np.uint8)
+    with open(d / "points3D.bin", "wb") as f:
+        f.write(struct.pack("<Q", 3))
+        for i in range(3):
+            f.write(struct.pack("<q", 100 + i))
+            f.write(struct.pack("<3d", *pts[i]))
+            f.write(struct.pack("<3B", *rgbs[i]))
+            f.write(struct.pack("<d", 0.5))
+            f.write(struct.pack("<Q", i))
+            for j in range(i):
+                f.write(struct.pack("<ii", j, j))
+    return d, pts, rgbs
+
+
+def test_load_scene(sparse_dir):
+    d, pts, rgbs = sparse_dir
+    scene = cm.load_scene(str(d))
+    assert set(scene.cameras) == {1, 2}
+    assert scene.cameras[1].model_id == 1
+    assert scene.cameras[2].width == 320
+    # Images sorted by name.
+    assert [im.name for im in scene.images] == ["frame_a.png", "frame_b.png"]
+    im_b = scene.images[1]
+    assert im_b.image_id == 10 and im_b.camera_id == 1
+    np.testing.assert_allclose(im_b.qvec, [1, 0, 0, 0])
+    np.testing.assert_allclose(im_b.tvec, [0.1, -0.2, 3.0])
+    np.testing.assert_allclose(scene.points_xyz, pts, atol=1e-6)
+    np.testing.assert_allclose(scene.points_rgb, rgbs / 255.0, atol=1e-6)
+
+
+def test_native_matches_python(sparse_dir):
+    d, _, _ = sparse_dir
+    nat = get_native()
+    if nat is None or not hasattr(nat, "load_colmap_images"):
+        pytest.skip("native loader unavailable")
+    cams_n = cm.read_cameras_bin(str(d / "cameras.bin"))
+    cams_p = cm._read_cameras_python(str(d / "cameras.bin"))
+    assert len(cams_n) == len(cams_p)
+    for a, b in zip(cams_n, cams_p):
+        assert (a.camera_id, a.model_id, a.width, a.height) == (
+            b.camera_id, b.model_id, b.width, b.height
+        )
+        np.testing.assert_array_equal(a.params, b.params)
+    ims_n = cm.read_images_bin(str(d / "images.bin"))
+    ims_p = cm._read_images_python(str(d / "images.bin"))
+    for a, b in zip(ims_n, ims_p):
+        assert (a.image_id, a.camera_id, a.name) == (
+            b.image_id, b.camera_id, b.name
+        )
+        np.testing.assert_array_equal(a.qvec, b.qvec)
+        np.testing.assert_array_equal(a.tvec, b.tvec)
+    xyz_n, rgb_n = cm.read_points3d_bin(str(d / "points3D.bin"))
+    xyz_p, rgb_p = cm._read_points_python(str(d / "points3D.bin"))
+    np.testing.assert_array_equal(xyz_n, xyz_p)
+    np.testing.assert_array_equal(rgb_n, rgb_p)
+
+
+def test_camera_for_image(sparse_dir):
+    d, _, _ = sparse_dir
+    scene = cm.load_scene(str(d))
+    cam = scene.camera_for(scene.images[1])  # frame_b: identity rotation
+    assert (cam.H, cam.W) == (480, 640)
+    np.testing.assert_allclose(np.asarray(cam.R), np.eye(3), atol=1e-7)
+    np.testing.assert_allclose(np.asarray(cam.T), [0.1, -0.2, 3.0], atol=1e-7)
+    assert float(cam.fx) == 500.0 and float(cam.fy) == 505.0
+    # Downscale halves intrinsics and the viewport.
+    cam2 = scene.camera_for(scene.images[1], downscale=2)
+    assert (cam2.H, cam2.W) == (240, 320)
+    assert float(cam2.fx) == 250.0
+
+    # SIMPLE_PINHOLE shares one focal.
+    cam3 = scene.camera_for(scene.images[0])
+    assert float(cam3.fx) == float(cam3.fy) == 250.0
+
+
+def test_qvec_rotmat_orthonormal():
+    rng = np.random.default_rng(0)
+    for _ in range(5):
+        q = rng.normal(size=4)
+        R = cm.qvec_to_rotmat(q)
+        np.testing.assert_allclose(R @ R.T, np.eye(3), atol=1e-10)
+        assert np.linalg.det(R) > 0.99
+
+
+def test_init_from_points(sparse_dir):
+    d, pts, rgbs = sparse_dir
+    scene = cm.load_scene(str(d))
+    params = cm.init_gaussians_from_points(
+        scene.points_xyz, scene.points_rgb, sh_degree=2
+    )
+    n = pts.shape[0]
+    assert params["means3d"].shape == (n, 3)
+    assert params["features"].shape == (n, 9, 3)
+    np.testing.assert_allclose(params["means3d"], pts, atol=1e-6)
+    # SH DC inverts to the point color through the band-0 basis.
+    c0 = 0.28209479177387814
+    np.testing.assert_allclose(
+        params["features"][:, 0, :] * c0 + 0.5, rgbs / 255.0, atol=1e-6
+    )
+    assert np.all(params["features"][:, 1:, :] == 0)
+    # Opacity logit sigmoids back to 0.1.
+    np.testing.assert_allclose(
+        1 / (1 + np.exp(-params["opacities_raw"])), 0.1, atol=1e-6
+    )
+    # Isotropic scales: log of mean 3-NN distance, finite and equal per axis.
+    assert np.all(np.isfinite(params["scales"]))
+    assert np.all(params["scales"][:, 0] == params["scales"][:, 1])
+
+
+def test_knn_matches_bruteforce():
+    rng = np.random.default_rng(3)
+    xyz = rng.normal(size=(200, 3)).astype(np.float32)
+    got = cm._mean_knn_dist(xyz, k=3, block=64)
+    d2 = ((xyz[:, None, :] - xyz[None, :, :]) ** 2).sum(-1)
+    np.fill_diagonal(d2, np.inf)
+    want = np.sqrt(np.sort(d2, axis=1)[:, :3]).mean(1)
+    np.testing.assert_allclose(got, want, rtol=1e-4)
+
+
+def test_renders_from_colmap_camera(sparse_dir):
+    """End-to-end: a COLMAP-initialized scene renders through the pipeline."""
+    import jax.numpy as jnp
+
+    from mojosplat_tpu import RenderConfig, render_gaussians
+    from mojosplat_tpu import train as mtrain
+
+    d, _, _ = sparse_dir
+    scene = cm.load_scene(str(d))
+    raw = cm.init_gaussians_from_points(
+        scene.points_xyz, scene.points_rgb, sh_degree=None
+    )
+    params = mtrain.activate({k: jnp.asarray(v) for k, v in raw.items()})
+    cam = scene.camera_for(scene.images[1], downscale=8)
+    cfg = RenderConfig(tile_capacity=64, chunk_size=32, max_tile_span=8)
+    img = render_gaussians(
+        params["means3d"], params["scales"], params["quats"],
+        params["opacities"], params["features"], cam,
+        background_color=jnp.zeros(3), config=cfg,
+    )
+    assert img.shape == (cam.H, cam.W, 3)
+    assert bool(jnp.all(jnp.isfinite(img)))

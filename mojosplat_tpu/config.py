@@ -46,6 +46,14 @@ class RenderConfig:
     radius_extend: float = 3.33
     radius_clip: float = 0.0
     opacity_aware_radius: bool = True
+    # gsplat's "antialiased" rasterization mode (Mip-Splatting opacity
+    # compensation): blending opacity is scaled by
+    # sqrt(det(cov2d) / det(cov2d + eps2d*I)) so the eps2d dilation conserves
+    # each splat's integrated energy. The reference always runs the classic
+    # mode (its gsplat calls pass no compensation flags, projection.py:381-397
+    # / rasterization.py:109-122); this exposes the oracle library's other
+    # mode as a config switch.
+    antialiased: bool = False
 
     # --- static-shape budget knobs (TPU-native; avoid recompiles) ---
     # Max tiles a single gaussian may claim along each axis; larger footprints

@@ -54,6 +54,11 @@ class ProjectionResult(NamedTuple):
     conics: jax.Array
     depths: jax.Array
     radii: jax.Array
+    # Antialiasing opacity compensation sqrt(det(cov2d)/det(cov2d+eps2d*I))
+    # (gsplat's calc_compensations output; 1.0-filled in classic mode).
+    # Appended last so positional access to the reference's four outputs
+    # (projection.py:33-38) stays valid.
+    compensations: jax.Array = None
 
 
 def quat_to_rotmat(quats: jax.Array) -> jax.Array:
@@ -279,6 +284,16 @@ def project_gaussians(
 
     conics = jnp.stack([c11 / det, -c01 / det, c00 / det], axis=-1)
 
+    # Antialiasing compensation (gsplat calc_compensations semantics): the
+    # ratio of the pre-/post-dilation densities' normalizers. 1.0 when the
+    # raw covariance dominates eps2d (big splats), -> 0 for sub-pixel splats
+    # whose screen-space energy the dilation would otherwise inflate.
+    if config.antialiased:
+        det_raw = jnp.maximum(c00_raw * c11_raw - c01_raw * c01_raw, 0.0)
+        compensations = jnp.sqrt(det_raw / det)
+    else:
+        compensations = jnp.ones_like(det)
+
     # Radius: opacity-aware (projection.mojo:214-226 / gsplat CUDA) or the
     # plain 3.33-sigma variant (projection.py:266-267).
     if config.opacity_aware_radius:
@@ -312,5 +327,9 @@ def project_gaussians(
     radii = jax.lax.stop_gradient(radius).astype(jnp.int32)
 
     return ProjectionResult(
-        means2d=means2d, conics=conics, depths=depths, radii=radii
+        means2d=means2d,
+        conics=conics,
+        depths=depths,
+        radii=radii,
+        compensations=compensations,
     )

@@ -121,6 +121,12 @@ def render_gaussians(
         )
         means2d = proj.means2d - shift[None, :]
 
+    if config.antialiased:
+        # Mip-Splatting opacity compensation (differentiable; see
+        # RenderConfig.antialiased). Radii/culling above stay on the raw
+        # opacity, which is conservative (never smaller footprints).
+        opacities = opacities * proj.compensations
+
     binning = bin_gaussians_to_tiles(
         means2d, proj.radii, proj.depths, out_h, camera.W, config
     )

@@ -360,3 +360,60 @@ def test_jit_no_recompile_across_scenes():
     fn(jnp.asarray(means2), jnp.asarray(log_scales2), jnp.asarray(quats2),
        jnp.asarray(opac2))
     assert fn._cache_size() == n0
+
+
+def test_antialiased_compensation_value():
+    # Isotropic gaussian: cov2d diag = (f s / z)^2, so the compensation is
+    # sqrt(v^2 / (v + eps2d)^2) = v / (v + eps2d) (Mip-Splatting opacity
+    # compensation; gsplat calc_compensations semantics).
+    s, z, f = 0.2, 4.0, 100.0
+    cam = make_camera(fx=f, fy=f)
+    args = (
+        jnp.array([[0.0, 0.0, z]]),
+        jnp.full((1, 3), math.log(s)),
+        jnp.array([[1.0, 0.0, 0.0, 0.0]]),
+        jnp.array([0.9]),
+        cam,
+    )
+    res = project_gaussians(*args, RenderConfig(antialiased=True))
+    v = (f * s / z) ** 2
+    np.testing.assert_allclose(
+        float(res.compensations[0]), v / (v + 0.3), rtol=1e-5
+    )
+    # Classic mode fills 1.0 and is otherwise identical.
+    classic = project_gaussians(*args, RenderConfig())
+    np.testing.assert_allclose(np.asarray(classic.compensations), 1.0)
+    np.testing.assert_allclose(
+        np.asarray(classic.conics), np.asarray(res.conics)
+    )
+
+
+def test_antialiased_compensation_bounds_and_grads():
+    means, log_scales, quats, opac = make_gaussians(64, seed=7)
+    cam = make_camera()
+    cfg = RenderConfig(antialiased=True)
+    res = project_gaussians(
+        jnp.asarray(means), jnp.asarray(log_scales), jnp.asarray(quats),
+        jnp.asarray(opac), cam, cfg,
+    )
+    comp = np.asarray(res.compensations)
+    assert np.all(comp >= 0.0) and np.all(comp <= 1.0)
+    # Sub-pixel splats are compensated harder than big ones.
+    big = project_gaussians(
+        jnp.asarray(means), jnp.asarray(log_scales) + 2.0, jnp.asarray(quats),
+        jnp.asarray(opac), cam, cfg,
+    )
+    assert float(jnp.mean(big.compensations)) > float(
+        jnp.mean(res.compensations)
+    )
+
+    def f(ls):
+        r = project_gaussians(
+            jnp.asarray(means), ls, jnp.asarray(quats), jnp.asarray(opac),
+            cam, cfg,
+        )
+        return jnp.sum(r.compensations)
+
+    g = jax.grad(f)(jnp.asarray(log_scales))
+    assert np.all(np.isfinite(np.asarray(g)))
+    assert float(jnp.max(jnp.abs(g))) > 0.0

@@ -134,3 +134,31 @@ def test_input_validation():
         render_gaussians(
             **{**base, "features": jnp.zeros((1, 9, 3))}, camera=cam, config=CFG
         )
+
+
+@pytest.mark.parametrize("impl", ["xla", "pallas"])
+def test_antialiased_mode(impl):
+    # Mip-Splatting opacity compensation: a small (near-pixel-scale) splat
+    # renders dimmer in antialiased mode (its eps2d-dilated footprint no
+    # longer inflates energy); a large splat is nearly unchanged.
+    cam = make_camera()
+    cfg_aa = RenderConfig(
+        tile_capacity=128, chunk_size=32, raster_impl=impl,
+        pallas_interpret=(impl == "pallas"), antialiased=True,
+    )
+    cfg_classic = RenderConfig(
+        tile_capacity=128, chunk_size=32, raster_impl=impl,
+        pallas_interpret=(impl == "pallas"),
+    )
+    small = one_gaussian()
+    small["scales"] = jnp.full((1, 3), -4.5)  # ~sub-pixel on screen
+    img_aa = np.asarray(render_gaussians(**small, camera=cam, config=cfg_aa))
+    img_cl = np.asarray(
+        render_gaussians(**small, camera=cam, config=cfg_classic)
+    )
+    assert img_aa[:, :, 0].max() < img_cl[:, :, 0].max() * 0.6
+
+    big = one_gaussian()  # scale e^-1.5 at z=2, f=100 => ~11 px sigma
+    img_aa = np.asarray(render_gaussians(**big, camera=cam, config=cfg_aa))
+    img_cl = np.asarray(render_gaussians(**big, camera=cam, config=cfg_classic))
+    np.testing.assert_allclose(img_aa, img_cl, atol=5e-3)

@@ -57,7 +57,8 @@ from ..config import RenderConfig
 # ~10x the price of one 10-wide row gather (measured 45 ms -> ~1 ms at 400k
 # intersections).
 _PROWS = 10
-_CCOLS = 4
+_CCOLS = 4  # accumulated channels: rgb + one aux (depth or zero pad)
+_OCOLS = _CCOLS + 1  # kernel output: accumulated channels + transmittance
 
 
 def _roll_r(x, s):
@@ -225,8 +226,11 @@ def _fwd_kernel(counts_ref, pdata_ref, out_ref, thist_ref,
                     (t_after[:, K - 1 : K] <= eps).astype(jnp.float32),
                 )
 
+        # All _CCOLS accumulated channels (rgb + the 4th aux channel — depth
+        # when the caller packs per-gaussian depths into pdata row 9, zeros
+        # otherwise; the MXU blend matmul computes it either way), then T.
         out_ref[i, :, :] = jnp.concatenate(
-            [acc_s[:, :3], t_s[...]], axis=1
+            [acc_s[...], t_s[...]], axis=1
         )
 
 
@@ -256,11 +260,11 @@ def _bwd_kernel(counts_ref, pdata_ref, gout_ref, thist_ref,
         px, py = _tile_pixel_centers(t, ts, tw, P)
 
         # ---- Reverse chunk walk carrying the transmittance cotangent.
-        gout = gout_ref[i, :, :]  # (P, 4): 0..2 dL/drgb, 3 dL/dT_final
-        v = jnp.concatenate(
-            [gout[:, :3], jnp.zeros((P, 1), jnp.float32)], axis=1
-        )  # color cotangent with the T column zeroed
-        gt_s[...] = gout[:, 3:4]
+        # (P, _OCOLS): 0..2 dL/drgb, 3 dL/daux (zero unless the caller
+        # rendered the aux/depth channel), 4 dL/dT_final.
+        gout = gout_ref[i, :, :]
+        v = gout[:, :_CCOLS]  # the accumulated-channel cotangents
+        gt_s[...] = gout[:, _CCOLS : _CCOLS + 1]
 
         for k in reversed(range(nchunks_max)):
             th = thist_ref[i, :, k : k + 1]  # (P, 1) signed T_in
@@ -361,9 +365,10 @@ def raster_tiles_pallas(pdata, counts, ts, tw, config):
         config: RenderConfig (static).
 
     Returns:
-        (n_tiles, ts*ts, 4) f32: columns 0..2 premultiplied RGB, column 3 the
-        final per-pixel transmittance (the value the reference discards,
-        rasterization.py:124).
+        (n_tiles, ts*ts, 5) f32: columns 0..2 premultiplied RGB, column 3 the
+        accumulated aux channel (depth when pdata row 9 carries per-gaussian
+        depths, zeros otherwise), column 4 the final per-pixel transmittance
+        (the value the reference discards, rasterization.py:124).
     """
     return _raster_fwd_call(pdata, counts, ts, tw, config)[0]
 
@@ -400,7 +405,7 @@ def _raster_fwd_call(pdata, counts, ts, tw, config):
             pl.BlockSpec((_PROWS, tps * cap), lambda t, c: (0, t)),
         ],
         out_specs=[
-            pl.BlockSpec((tps, P, _CCOLS), lambda t, c: (t, 0, 0)),
+            pl.BlockSpec((tps, P, _OCOLS), lambda t, c: (t, 0, 0)),
             pl.BlockSpec((tps, P, nc), lambda t, c: (t, 0, 0)),
         ],
         scratch_shapes=[
@@ -413,7 +418,7 @@ def _raster_fwd_call(pdata, counts, ts, tw, config):
         kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((n_pad, P, _CCOLS), jnp.float32),
+            jax.ShapeDtypeStruct((n_pad, P, _OCOLS), jnp.float32),
             jax.ShapeDtypeStruct((n_pad, P, nc), jnp.float32),
         ],
         interpret=config.pallas_interpret,
@@ -447,7 +452,7 @@ def _raster_bwd_rule(ts, tw, config, residuals, gout):
         grid=(n_pad // tps,),
         in_specs=[
             pl.BlockSpec((_PROWS, tps * cap), lambda t, c: (0, t)),
-            pl.BlockSpec((tps, P, _CCOLS), lambda t, c: (t, 0, 0)),
+            pl.BlockSpec((tps, P, _OCOLS), lambda t, c: (t, 0, 0)),
             pl.BlockSpec((tps, P, nc), lambda t, c: (t, 0, 0)),
         ],
         out_specs=pl.BlockSpec((_PROWS, tps * cap), lambda t, c: (0, t)),
@@ -475,8 +480,9 @@ def _gather_rows_impl(packed, safe):
     return rows.T  # (_PROWS, M) field-major for the kernels
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
-def _gather_rows(packed, safe, interpret=False, route_bf16=False):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def _gather_rows(packed, safe, interpret=False, route_bf16=False,
+                 nfields=_PROWS - 1):
     """Field-major packed[safe].T with a hand-built adjoint.
 
     Forward: optimization barriers keep XLA from fusing the gather with
@@ -496,7 +502,7 @@ def _gather_rows(packed, safe, interpret=False, route_bf16=False):
     return _gather_rows_impl(packed, safe)
 
 
-def _gather_rows_fwd(packed, safe, interpret, route_bf16):
+def _gather_rows_fwd(packed, safe, interpret, route_bf16, nfields):
     return _gather_rows_impl(packed, safe), (safe, packed.shape[0])
 
 
@@ -525,14 +531,15 @@ def _unpack_bf16_pair(p):
     return lo, hi
 
 
-def _gather_rows_bwd(interpret, route_bf16, res, g):
+def _gather_rows_bwd(interpret, route_bf16, nfields, res, g):
     from .segsum_pallas import segment_sum_cols
 
     safe, N = res
-    # Row _PROWS-1 is the zero pad column: its cotangent is identically zero
-    # and its destination slice in `packed` is discarded by the pack's
-    # autodiff, so don't pay sort/reduce bandwidth for it.
-    F = g.shape[0] - 1
+    # Rows >= nfields are zero pad columns: their cotangents are identically
+    # zero and their destination slices in `packed` are discarded by the
+    # pack's autodiff, so don't pay sort/reduce bandwidth for them. With a
+    # real aux/depth channel nfields is _PROWS and every row is routed.
+    F = nfields
     if route_bf16:
         # bf16 route: halves the payload bytes (~0.4% relative quantization
         # on the per-slot terms; the reduction still accumulates f32 on the
@@ -560,7 +567,7 @@ def _gather_rows_bwd(interpret, route_bf16, res, g):
         d9 = segment_sum_cols(
             ops[1:], ops[0], N, interpret=interpret, exact=True
         )
-    d_packed = jnp.pad(d9, ((0, 0), (0, 1)))
+    d_packed = jnp.pad(d9, ((0, 0), (0, _PROWS - F)))
     d_safe = np.zeros(safe.shape, dtype=jax.dtypes.float0)
     return d_packed, d_safe
 
@@ -582,6 +589,10 @@ def gather_tile_data(means2d, conics, colors, opacities, slot_gids,
     """
     N = means2d.shape[0]
     C = colors.shape[-1]
+    if C > _PROWS - 6:
+        raise ValueError(
+            f"at most {_PROWS - 6} blend channels (rgb + aux), got {C}"
+        )
     packed = jnp.concatenate(
         [
             means2d.astype(jnp.float32),
@@ -591,10 +602,12 @@ def gather_tile_data(means2d, conics, colors, opacities, slot_gids,
             jnp.zeros((N, _PROWS - 6 - C), jnp.float32),
         ],
         axis=-1,
-    )  # (N, 10): x, y, ca, cb, cc, op, r, g, b, 0
+    )  # (N, 10): x, y, ca, cb, cc, op, r, g, b, aux-or-0
     safe = jnp.clip(slot_gids.reshape(-1), 0, N - 1)
     # No validity masking: invalid (-1 padding) slots only exist past each
     # tile's count, and the kernels' count guard never reads them.
+    # nfields: route gradients only for the real field rows (pad rows have
+    # identically-zero cotangents).
     return _gather_rows(
-        packed, safe, interpret, route_bf16
+        packed, safe, interpret, route_bf16, 6 + C
     )  # (10, n_tiles*cap)

@@ -201,7 +201,7 @@ def rasterize_gaussians(
             route_bf16=config.grad_route_bf16,
         )
         out = raster_tiles_pallas(pdata, counts, ts, tw, config)
-        T_tiles = out[:, :, 3]
+        T_tiles = out[:, :, 4]
         out_tiles = (
             out[:, :, :C] + T_tiles[:, :, None] * background[None, None, :]
         ).astype(dtype)

@@ -47,10 +47,20 @@ def render_gaussians(
     background_color: jax.Array | None = None,
     config: RenderConfig = DEFAULT_CONFIG,
     return_aux: bool = False,
+    return_depth: bool = False,
     viewport_rows: tuple[jax.Array | int, int] | None = None,
     means2d_offset: jax.Array | None = None,
 ):
     """Render 3D gaussians to an (H, W, C) image.
+
+    ``return_depth=True`` additionally returns the (H, W) accumulated depth
+    map sum_i(w_i * z_i) (alpha-blend weights w_i, camera-space depth z_i) —
+    blended as a fourth channel through the same kernels, differentiable
+    back to ``means3d``. The expected depth used for depth supervision is
+    ``depth / (1 - aux.raster.final_transmittance)``. (gsplat's 'D'/'ED'
+    render modes; the reference discards even the alpha map its kernels
+    produce, rasterization.py:124.) Return value becomes ``(image, depth)``
+    (plus aux last if ``return_aux``).
 
     Same public surface as the reference orchestrator (render.py:12-43); the
     backend argument is gone (one TPU-native path) and ``config`` replaces the
@@ -130,6 +140,15 @@ def render_gaussians(
     binning = bin_gaussians_to_tiles(
         means2d, proj.radii, proj.depths, out_h, camera.W, config
     )
+    if return_depth:
+        # Blend camera-space depth as a fourth channel (zero background):
+        # the kernels' aux channel slot, so depth costs no extra pass.
+        colors = jnp.concatenate(
+            [colors, proj.depths[:, None].astype(colors.dtype)], axis=-1
+        )
+        background = jnp.concatenate(
+            [background, jnp.zeros((1,), background.dtype)]
+        )
     image, raster_aux = rasterize_gaussians(
         means2d,
         proj.conics,
@@ -141,6 +160,9 @@ def render_gaussians(
         camera.W,
         config,
     )
+    out = (image,)
+    if return_depth:
+        out = (image[..., :num_channels], image[..., num_channels])
     if return_aux:
-        return image, RenderAux(binning=binning.aux, raster=raster_aux)
-    return image
+        out = out + (RenderAux(binning=binning.aux, raster=raster_aux),)
+    return out[0] if len(out) == 1 else out

@@ -76,6 +76,12 @@ def main():
         "cloned/split (the INRIA 2e-4 default assumes their loss scale; "
         "this demo's plain L2 on small images runs ~100x lower)",
     )
+    ap.add_argument(
+        "--strategy", default="adc", choices=["adc", "mcmc"],
+        help="density-control family when --densify-every > 0: 'adc' = "
+        "INRIA clone/split/prune; 'mcmc' = 3DGS-MCMC relocation + "
+        "opacity-gated position noise + L1 regularizers",
+    )
     args = ap.parse_args()
     os.makedirs(args.out_dir, exist_ok=True)
 
@@ -113,6 +119,8 @@ def main():
         log_scale_mean=-2.6,
     )
     densify = args.densify_every > 0
+    adc = densify and args.strategy == "adc"
+    mcmc = densify and args.strategy == "mcmc"
     if densify:
         from mojosplat_tpu.densify import (
             DensifyState,
@@ -125,7 +133,36 @@ def main():
     state = mtrain.init_train_state(raw, optimizer)
     n_slots = raw["opacities_raw"].shape[0]
 
-    if densify:
+    if mcmc:
+        from mojosplat_tpu.densify import (
+            MCMCConfig,
+            mcmc_position_noise,
+            mcmc_regularization,
+            mcmc_relocate,
+        )
+
+        mcfg = MCMCConfig()
+        step_fn_m = functools.partial(
+            mtrain.train_step, optimizer=optimizer, config=config,
+            loss_extra=lambda p: mcmc_regularization(p, mcfg),
+        )
+
+        def multi_step_m(state, key, cs, tgts, n):
+            def body(carry, _):
+                s, k = carry
+                s, loss = step_fn_m(s, cs, tgts)
+                k, sub = jax.random.split(k)
+                noisy = mcmc_position_noise(s.params, sub, args.lr, mcfg)
+                return (mtrain.TrainState(noisy, s.opt_state, s.step), k), loss
+
+            (state, key), losses = jax.lax.scan(
+                body, (state, key), None, length=n
+            )
+            return state, key, losses
+
+        run_m = jax.jit(functools.partial(multi_step_m, n=args.steps_per_call))
+        relocate_fn = jax.jit(functools.partial(mcmc_relocate, config=mcfg))
+    elif adc:
         dstate = DensifyState.zero(n_slots)
 
         def multi_step(state, dstate, cs, tgts, n):
@@ -175,7 +212,9 @@ def main():
     done = 0
     key = jax.random.PRNGKey(7)
     while done < args.steps:
-        if densify:
+        if mcmc:
+            state, key, losses = run_m(state, key, cams, targets)
+        elif adc:
             state, dstate, losses = run_d(state, dstate, cams, targets)
         else:
             state, losses = run(state, cams, targets)
@@ -184,7 +223,7 @@ def main():
             f"step {done:5d}  loss {float(losses[-1]):.6f}  "
             f"({(time.perf_counter() - t0) / done * 1000:.1f} ms/step avg)"
         )
-        if densify and done % args.densify_every == 0 and done < args.steps:
+        if adc and done % args.densify_every == 0 and done < args.steps:
             key, sub = jax.random.split(key)
             params, dstate, metrics = densify_fn(state.params, dstate, sub)
             # Fresh optimizer state for the mutated parameter set.
@@ -195,6 +234,16 @@ def main():
                 f"  [densify: +{int(metrics['cloned'])} cloned, "
                 f"+{int(metrics['split'])} split, "
                 f"-{int(metrics['pruned'])} pruned, "
+                f"{int(metrics['alive'])} alive]"
+            )
+        if mcmc and done % args.densify_every == 0 and done < args.steps:
+            key, sub = jax.random.split(key)
+            params, metrics = relocate_fn(state.params, sub)
+            state = mtrain.TrainState(
+                params, optimizer.init(params), state.step
+            )
+            msg += (
+                f"  [mcmc: {int(metrics['relocated'])} relocated, "
                 f"{int(metrics['alive'])} alive]"
             )
         print(msg)

@@ -217,4 +217,173 @@ def pad_to_capacity(params: dict[str, Any], capacity: int) -> dict[str, Any]:
         padded = jnp.pad(v, [(0, pad)] + [(0, 0)] * (v.ndim - 1))
         out[k] = padded
     out["opacities_raw"] = out["opacities_raw"].at[n:].set(DEAD_LOGIT)
+    # Identity quaternions, NOT zeros: the gradient of quat normalization at
+    # exactly zero is NaN (0/0), and a NaN in a dead slot's parameters
+    # poisons every later optimizer step that touches it (e.g. the MCMC
+    # noise walk reads dead slots' rotations every step).
+    out["quats"] = out["quats"].at[n:, 0].set(1.0)
     return out
+
+
+# ---------------------------------------------------------------------------
+# MCMC density control (3DGS-MCMC, Kheradmand et al. 2024): the second
+# standard density-control family. Instead of grad-threshold clone/split,
+# dead (transparent) gaussians are *relocated* onto alive ones sampled
+# proportionally to opacity, with opacity/scale updated so the blended
+# appearance of k coincident copies matches the original splat, and
+# exploration comes from opacity-gated position noise plus L1 regularizers.
+# A fixed-capacity formulation is the paper's own (it never grows beyond
+# cap_max), which maps 1:1 onto this module's static-shape slot design.
+# ---------------------------------------------------------------------------
+
+_MCMC_N_MAX = 51  # max copies per relocation target (binomial table bound)
+
+
+def _binomial_table(n_max: int) -> jnp.ndarray:
+    import math
+
+    tbl = [[math.comb(n, k) if k <= n else 0 for k in range(n_max + 1)]
+           for n in range(n_max + 1)]
+    return jnp.asarray(tbl, jnp.float32)
+
+
+@dataclasses.dataclass(frozen=True)
+class MCMCConfig:
+    min_opacity: float = 0.005  # below this a slot is dead / relocatable
+    noise_lr: float = 5e5  # position-noise scale multiplier
+    noise_opacity_k: float = 100.0  # steepness of the noise opacity gate
+    opacity_reg: float = 0.01  # L1 opacity regularizer weight
+    scale_reg: float = 0.01  # L1 (linear-)scale regularizer weight
+
+
+def relocation_update(
+    opacities: jax.Array, ratio: jax.Array
+) -> tuple[jax.Array, jax.Array]:
+    """New (opacity, scale coefficient) when 1 splat becomes ``ratio`` copies.
+
+    Appearance-preserving update: k coincident copies of opacity o' blend to
+    1-(1-o')^k, so o' = 1-(1-o)^(1/k) keeps the center alpha EXACT; the
+    linear scales are multiplied by
+
+        coeff = o / sum_{i=1..k} C(k,i) (-1)^(i+1) o'^i / sqrt(i)
+
+    which keeps the 1D mass of the blended profile exact (expand
+    1-(1-o'G(x))^k binomially; each term integrates to o'^i sqrt(2pi) s'/
+    sqrt(i)), the derivation behind the paper's relocation equations.
+    """
+    ratio = jnp.clip(ratio.astype(jnp.int32), 1, _MCMC_N_MAX)
+    o = opacities
+    new_o = 1.0 - jnp.power(jnp.maximum(1.0 - o, 1e-12),
+                            1.0 / ratio.astype(o.dtype))
+    i = jnp.arange(1, _MCMC_N_MAX + 1, dtype=jnp.float32)  # (I,)
+    binom = _binomial_table(_MCMC_N_MAX)[ratio]  # (N, I+1)
+    terms = (
+        binom[:, 1:]
+        * jnp.power(new_o[:, None], i[None, :])
+        * ((-1.0) ** (i[None, :] + 1.0))
+        / jnp.sqrt(i[None, :])
+    )
+    mask = i[None, :] <= ratio[:, None].astype(jnp.float32)
+    denom = jnp.sum(jnp.where(mask, terms, 0.0), axis=-1)
+    coeff = o / jnp.maximum(denom, 1e-12)
+    return new_o, coeff
+
+
+def mcmc_relocate(
+    params: dict[str, Any],
+    key: jax.Array,
+    config: MCMCConfig = MCMCConfig(),
+) -> tuple[dict[str, Any], dict[str, jax.Array]]:
+    """Relocate dead slots onto alive gaussians sampled by opacity.
+
+    Every dead slot picks a target alive gaussian (probability proportional
+    to opacity); the target and all copies landing on it share the
+    relocation_update'd opacity/scales, so the rendered image is (to the
+    paper's approximation) unchanged while dead capacity teleports to where
+    opacity mass lives. All shapes static; one scatter-add at event rate.
+    """
+    n = params["opacities_raw"].shape[0]
+    opac = jax.nn.sigmoid(params["opacities_raw"])
+    alive = opac >= config.min_opacity
+    dead = ~alive
+
+    logits = jnp.where(alive, jnp.log(jnp.maximum(opac, 1e-12)), -jnp.inf)
+    targets = jax.random.categorical(key, logits, shape=(n,))
+    targets = jnp.where(dead, targets, jnp.arange(n, dtype=targets.dtype))
+
+    # copies per target = itself + dead slots pointing at it.
+    counts = (
+        jnp.zeros((n,), jnp.int32)
+        .at[jnp.where(dead, targets, n)]
+        .add(1, mode="drop")
+        + 1
+    )
+    any_alive = jnp.any(alive)
+    ratio = jnp.where(any_alive, counts[targets], 1)
+
+    new_o_t, coeff_t = relocation_update(opac[targets], ratio)
+    take = lambda f: f[targets]  # noqa: E731
+
+    new_params = dict(params)
+    moved = dead & any_alive
+    sel = lambda new, old: jnp.where(  # noqa: E731
+        (moved | (counts > 1))[..., None]
+        if new.ndim > 1
+        else (moved | (counts > 1)),
+        new,
+        old,
+    )
+    new_params["means3d"] = sel(take(params["means3d"]), params["means3d"])
+    new_params["quats"] = sel(take(params["quats"]), params["quats"])
+    new_params["features"] = sel(take(params["features"]),
+                                 params["features"])
+    new_params["scales"] = sel(
+        take(params["scales"]) + jnp.log(jnp.maximum(coeff_t, 1e-12))[:, None],
+        params["scales"],
+    )
+    inv = jax.scipy.special.logit(jnp.clip(new_o_t, 1e-9, 1.0 - 1e-9))
+    new_params["opacities_raw"] = sel(inv, params["opacities_raw"])
+
+    metrics = dict(
+        relocated=jnp.sum(moved),
+        alive=jnp.sum(alive),
+    )
+    return new_params, metrics
+
+
+def mcmc_position_noise(
+    params: dict[str, Any],
+    key: jax.Array,
+    lr: float | jax.Array,
+    config: MCMCConfig = MCMCConfig(),
+) -> dict[str, Any]:
+    """Opacity-gated covariance-shaped position noise (the paper's SGLD-style
+    exploration term): means += lr * noise_lr * gate(o) * N(0, Sigma), where
+    gate(o) = sigmoid(k * (min_opacity - o)) suppresses noise on opaque
+    gaussians and Sigma = R S^2 R^T is each gaussian's own covariance."""
+    n = params["opacities_raw"].shape[0]
+    opac = jax.nn.sigmoid(params["opacities_raw"])
+    gate = jax.nn.sigmoid(
+        config.noise_opacity_k * (config.min_opacity - opac)
+    )
+    quats = params["quats"] / jnp.maximum(
+        jnp.linalg.norm(params["quats"], axis=-1, keepdims=True), 1e-12
+    )
+    R = _quat_to_rotmat(quats)
+    z = jax.random.normal(key, (n, 3))
+    sample = jnp.einsum(
+        "nij,nj->ni", R, jnp.exp(params["scales"]) * z
+    )  # ~ N(0, R S^2 R^T)
+    step = jnp.asarray(lr) * config.noise_lr * gate
+    out = dict(params)
+    out["means3d"] = params["means3d"] + step[:, None] * sample
+    return out
+
+
+def mcmc_regularization(
+    params: dict[str, Any], config: MCMCConfig = MCMCConfig()
+) -> jax.Array:
+    """L1 opacity + linear-scale regularizers (keep capacity churning)."""
+    return config.opacity_reg * jnp.mean(
+        jax.nn.sigmoid(params["opacities_raw"])
+    ) + config.scale_reg * jnp.mean(jnp.abs(jnp.exp(params["scales"])))

@@ -145,8 +145,13 @@ def train_step(
     optimizer: optax.GradientTransformation,
     sh_degree: int | None = None,
     config: RenderConfig = DEFAULT_CONFIG,
+    loss_extra=None,
 ) -> tuple[TrainState, jax.Array]:
-    """Single-device training step over a batch of views."""
+    """Single-device training step over a batch of views.
+
+    ``loss_extra(raw_params) -> scalar`` adds a parameter regularizer to the
+    image loss (e.g. densify.mcmc_regularization).
+    """
 
     def loss_fn(params):
         def render_one(cam):
@@ -157,7 +162,10 @@ def train_step(
             )
 
         imgs = jax.vmap(render_one)(cameras)
-        return l2_image_loss(imgs, targets)
+        loss = l2_image_loss(imgs, targets)
+        if loss_extra is not None:
+            loss = loss + loss_extra(params)
+        return loss
 
     loss, grads = jax.value_and_grad(loss_fn)(state.params)
     updates, opt_state = optimizer.update(grads, state.opt_state, state.params)

@@ -38,6 +38,10 @@ def main():
         "random demo cloud",
     )
     ap.add_argument("--sh-degree", type=int, default=None)
+    ap.add_argument(
+        "--depth", action="store_true",
+        help="also save a normalized expected-depth map next to --out",
+    )
     args = ap.parse_args()
 
     os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
@@ -98,16 +102,25 @@ def main():
             sh_degree=sh_degree,
             background_color=jnp.array([0.1, 0.1, 0.1]),
             config=config,
+            return_depth=args.depth,
+            return_aux=args.depth,
         )
     )
 
+    def unpack(out):
+        return out if args.depth else (out, None, None)
+
     print("Rendering (compiling on first call)...")
     t0 = time.perf_counter()
-    image = render(means3d, log_scales, quats, opacities, colors, camera)
+    image, depth, aux = unpack(
+        render(means3d, log_scales, quats, opacities, colors, camera)
+    )
     image.block_until_ready()
     print(f"First render (incl. compile): {time.perf_counter() - t0:.2f}s")
     t0 = time.perf_counter()
-    image = render(means3d, log_scales, quats, opacities, colors, camera)
+    image, depth, aux = unpack(
+        render(means3d, log_scales, quats, opacities, colors, camera)
+    )
     image.block_until_ready()
     print(f"Steady-state render: {time.perf_counter() - t0:.3f}s")
     print(f"Rendered image shape: {image.shape}")
@@ -116,6 +129,17 @@ def main():
 
     print(f"Saving image to {args.out}...")
     save_png(image, args.out)
+    if args.depth:
+        # Expected depth, alpha-masked, normalized to [0, 1] for viewing.
+        alpha = 1.0 - aux.raster.final_transmittance
+        edepth = depth / jnp.maximum(alpha, 1e-6)
+        lo = jnp.min(jnp.where(alpha > 0.5, edepth, jnp.inf))
+        hi = jnp.max(jnp.where(alpha > 0.5, edepth, -jnp.inf))
+        vis = jnp.clip((edepth - lo) / jnp.maximum(hi - lo, 1e-6), 0, 1)
+        vis = jnp.where(alpha > 0.05, vis, 1.0)[..., None].repeat(3, -1)
+        depth_out = args.out.rsplit(".", 1)[0] + "_depth.png"
+        save_png(vis, depth_out)
+        print(f"Saved depth map to {depth_out}")
     print("Done.")
 
 

@@ -239,6 +239,7 @@ def train_step_sharded(
     mesh: Mesh,
     sh_degree: int | None = None,
     config: RenderConfig = DEFAULT_CONFIG,
+    loss_extra=None,
 ) -> tuple[TrainState, jax.Array]:
     """Training step sharded over a ('data', 'tile') mesh.
 
@@ -246,6 +247,10 @@ def train_step_sharded(
     local loss contribution; per-gaussian parameter gradients are psum'd over
     both axes (the overlapped grad all-reduce of BASELINE config 5), so every
     device applies identical optimizer updates to the replicated parameters.
+
+    ``loss_extra(raw_params) -> scalar`` adds a parameter regularizer (e.g.
+    densify.mcmc_regularization); params are replicated, so it is evaluated
+    per device and NOT reduced over the mesh.
     """
     slab_h = check_slab_divisibility(cameras.H, mesh.shape["tile"], config)
     n_dev = mesh.shape["data"] * mesh.shape["tile"]
@@ -268,6 +273,14 @@ def train_step_sharded(
         )  # global element count
         loss = loss / denom
         grads = jax.tree_util.tree_map(lambda g: g / denom, grads)
+        if loss_extra is not None:
+            # Params are replicated: every device computes the identical
+            # regularizer and gradient, so no mesh reduction is needed.
+            reg, reg_grads = jax.value_and_grad(loss_extra)(params)
+            loss = loss + reg
+            grads = jax.tree_util.tree_map(
+                lambda g, r: g + r, grads, reg_grads
+            )
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, step + 1, loss

@@ -3,6 +3,8 @@
 The reference has nothing to mirror here — no distributed code exists in it
 (SURVEY.md section 2.3)."""
 
+import functools
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -160,3 +162,40 @@ def test_indivisible_height_raises():
     raw = scene_params(16)
     with pytest.raises(ValueError):
         render_batch_sharded(mtrain.activate(raw), cams, mesh, config=CFG)
+
+
+def test_sharded_train_step_with_mcmc_regularizer():
+    from mojosplat_tpu.densify import MCMCConfig, mcmc_regularization
+
+    B = 2
+    cams = batched_cameras(B, H=128)
+    params = scene_params(n=64, seed=9)
+    mesh = make_mesh(2, 4)
+    optimizer = mtrain.make_optimizer(1e-2)
+    state = mtrain.init_train_state(params, optimizer)
+    targets = jnp.zeros((B, 128, 64, 3), jnp.float32)
+    mcfg = MCMCConfig()
+
+    step = jax.jit(
+        functools.partial(
+            mtrain.train_step_sharded,
+            optimizer=optimizer,
+            mesh=mesh,
+            config=CFG,
+            loss_extra=lambda p: mcmc_regularization(p, mcfg),
+        )
+    )
+    new_state, loss = step(state, cameras=cams, targets=targets)
+    base_state, base_loss = jax.jit(
+        functools.partial(
+            mtrain.train_step_sharded, optimizer=optimizer, mesh=mesh,
+            config=CFG,
+        )
+    )(state, cameras=cams, targets=targets)
+    assert np.isfinite(float(loss))
+    # The regularizer raises the loss and changes the update.
+    assert float(loss) > float(base_loss)
+    assert not np.allclose(
+        np.asarray(new_state.params["scales"]),
+        np.asarray(base_state.params["scales"]),
+    )

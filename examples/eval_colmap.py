@@ -1,0 +1,111 @@
+"""Evaluate a trained 3DGS scene against a COLMAP capture's views.
+
+The held-out evaluation harness standard 3DGS pipelines ship and the
+forward-only reference cannot (no dataset loading, no metrics;
+/root/reference/render_sample.py renders random clouds only): load a scene
+PLY (e.g. the output of examples/train_colmap.py), render every Nth view
+through the TPU-native pipeline, and report per-view + mean PSNR / SSIM.
+
+    python examples/eval_colmap.py --data /path/to/capture \
+        --ply output/train_colmap/fitted.ply --downscale 4 --every 8
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from mojosplat_tpu import RenderConfig, render_gaussians  # noqa: E402
+from mojosplat_tpu import train as mtrain  # noqa: E402
+from mojosplat_tpu.utils import load_gaussian_ply, save_png  # noqa: E402
+from mojosplat_tpu.utils import colmap as cm  # noqa: E402
+from train_colmap import load_view_images  # noqa: E402
+
+
+def psnr(a, b):
+    return -10.0 * jnp.log10(jnp.mean((a - b) ** 2))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--data", required=True, help="capture root (INRIA layout)")
+    ap.add_argument("--ply", required=True, help="trained scene PLY")
+    ap.add_argument("--sparse", default=None)
+    ap.add_argument("--downscale", type=int, default=4)
+    ap.add_argument("--every", type=int, default=8,
+                    help="evaluate every Nth view (8 = the standard "
+                    "Mip-NeRF-360 test split)")
+    ap.add_argument("--impl", default="pallas", choices=["xla", "pallas"])
+    ap.add_argument("--tile-capacity", type=int, default=512)
+    ap.add_argument("--save-renders", default=None,
+                    help="directory to dump rendered test views")
+    args = ap.parse_args()
+
+    sparse = args.sparse or os.path.join(args.data, "sparse", "0")
+    scene = cm.load_scene(sparse)
+    views, images = load_view_images(args.data, scene, args.downscale)
+    views = views[:: args.every]
+    images = images[:: args.every]
+    if not views:
+        sys.exit("no views selected")
+    H, W = images[0].shape[:2]
+
+    params = {
+        k: jnp.asarray(v) for k, v in load_gaussian_ply(args.ply).items()
+    }
+    sh_degree = int(round(params["features"].shape[1] ** 0.5)) - 1
+    print(f"{params['means3d'].shape[0]} gaussians, SH degree {sh_degree}; "
+          f"{len(views)} test views at {W}x{H}")
+
+    config = RenderConfig(
+        tile_capacity=args.tile_capacity, chunk_size=64, max_tile_span=8,
+        tile_batch=512, raster_impl=args.impl,
+    )
+
+    @jax.jit
+    def render(p, cam):
+        q = mtrain.activate(p) if "opacities_raw" in p else p
+        return render_gaussians(
+            q["means3d"], q["scales"], q["quats"], q["opacities"],
+            q["features"], cam, sh_degree=sh_degree, config=config,
+        )
+
+    if args.save_renders:
+        os.makedirs(args.save_renders, exist_ok=True)
+
+    rows = []
+    for v, target in zip(views, images):
+        cam = scene.camera_for(v, args.downscale)
+        img = render(params, cam)
+        tgt = jnp.asarray(target)
+        row = {
+            "view": v.name,
+            "psnr": float(psnr(img, tgt)),
+            "ssim": float(mtrain.ssim(img, tgt)),
+        }
+        rows.append(row)
+        print(f"  {row['view']:>24}  PSNR {row['psnr']:6.2f}  "
+              f"SSIM {row['ssim']:.4f}")
+        if args.save_renders:
+            save_png(img, os.path.join(
+                args.save_renders, os.path.basename(v.name) + ".render.png"
+            ))
+
+    summary = {
+        "views": len(rows),
+        "mean_psnr": float(np.mean([r["psnr"] for r in rows])),
+        "mean_ssim": float(np.mean([r["ssim"] for r in rows])),
+    }
+    print(json.dumps(summary))
+
+
+if __name__ == "__main__":
+    main()

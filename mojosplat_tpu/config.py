@@ -54,6 +54,16 @@ class RenderConfig:
     # / rasterization.py:109-122); this exposes the oracle library's other
     # mode as a config switch.
     antialiased: bool = False
+    # Projection linearization: "ewa" (the reference's scheme) or "ut" — the
+    # 3DGUT unscented-transform alternative the reference's README lists as
+    # desired future work (README.md "Unscented Projection" contribution
+    # item): sigma points of the 3D gaussian are pushed through the exact
+    # pinhole map and the 2D moments recovered from them, replacing the
+    # first-order EWA Jacobian. Standard UT weights (alpha, beta, kappa).
+    projection_mode: str = "ewa"
+    ut_alpha: float = 1.0
+    ut_beta: float = 2.0
+    ut_kappa: float = 0.0
 
     # --- static-shape budget knobs (TPU-native; avoid recompiles) ---
     # Max tiles a single gaussian may claim along each axis; larger footprints

@@ -259,6 +259,64 @@ def s2c(saa, sab, sbb, a):
     return saa - 2.0 * a * sab + a * a * sbb
 
 
+def _unscented_cov2d(means3d, scales, quats, camera, config):
+    """3DGUT-style unscented-transform projection (config.projection_mode
+    "ut"): the reference README's "Unscented Projection" wishlist item.
+
+    Instead of linearizing the pinhole map with the EWA Jacobian
+    (projection.py:105-160), the 2d+1 = 7 sigma points of each 3D gaussian
+    (center plus/minus the scaled columns of the covariance factor
+    M = R_view R S, an exact matrix square root of the camera-frame
+    covariance) are pushed through the *exact* projection and the 2D
+    mean/covariance recovered as their weighted moments — higher-order
+    accurate for large/near splats where the Jacobian underestimates
+    curvature. Standard UT weights: lambda = alpha^2 (d+kappa) - d,
+    w0_m = lambda/(d+lambda), w0_c = w0_m + 1 - alpha^2 + beta,
+    wi = 1/(2(d+lambda)).
+
+    Returns the same (means2d, depths, c00, c01, c11) contract as
+    _fused_cov2d (pre-eps2d covariance) so culling/conic/radius logic is
+    shared between modes. Uses small batched (N,3,3) einsums rather than the
+    EWA path's fully-scalarized form — this is the alternate mode, not the
+    headline path.
+    """
+    d = 3.0
+    lam = config.ut_alpha**2 * (d + config.ut_kappa) - d
+    gamma = jnp.sqrt(d + lam)
+
+    R = quat_to_rotmat(quats)  # (N, 3, 3)
+    M = R * jnp.exp(scales)[:, None, :]  # R @ diag(s)
+    mu_c = means3d @ camera.R.T + camera.T  # (N, 3) camera frame
+    Mc = jnp.einsum("ij,njk->nik", camera.R, M)  # (N, 3, 3)
+
+    cols = gamma * Mc.transpose(0, 2, 1)  # (N, 3, 3) rows = scaled columns
+    pts = jnp.concatenate(
+        [mu_c[:, None, :], mu_c[:, None, :] + cols, mu_c[:, None, :] - cols],
+        axis=1,
+    )  # (N, 7, 3)
+    z = jnp.maximum(pts[..., 2], 1e-6)  # behind-camera points are near-culled
+    y = jnp.stack(
+        [
+            camera.fx * pts[..., 0] / z + camera.cx,
+            camera.fy * pts[..., 1] / z + camera.cy,
+        ],
+        axis=-1,
+    )  # (N, 7, 2)
+
+    w0_m = lam / (d + lam)
+    wi = 1.0 / (2.0 * (d + lam))
+    w0_c = w0_m + 1.0 - config.ut_alpha**2 + config.ut_beta
+    wm = jnp.concatenate([jnp.array([w0_m]), jnp.full((6,), wi)])
+    wc = jnp.concatenate([jnp.array([w0_c]), jnp.full((6,), wi)])
+
+    mean = jnp.einsum("k,nkc->nc", wm, y)
+    diff = y - mean[:, None, :]
+    c00 = jnp.einsum("k,nk->n", wc, diff[..., 0] * diff[..., 0])
+    c01 = jnp.einsum("k,nk->n", wc, diff[..., 0] * diff[..., 1])
+    c11 = jnp.einsum("k,nk->n", wc, diff[..., 1] * diff[..., 1])
+    return mean, mu_c[:, 2], c00, c01, c11
+
+
 def project_gaussians(
     means3d: jax.Array,  # (N, 3) world-space centers
     scales: jax.Array,  # (N, 3) log-space scales
@@ -272,9 +330,18 @@ def project_gaussians(
     Same public signature role as project_gaussians (projection.py:15-48), with
     the backend dispatch replaced by a single TPU-native implementation.
     """
-    means2d, depths, c00_raw, c01_raw, c11_raw = _fused_cov2d(
-        means3d, scales, quats, camera
-    )
+    if config.projection_mode == "ut":
+        means2d, depths, c00_raw, c01_raw, c11_raw = _unscented_cov2d(
+            means3d, scales, quats, camera, config
+        )
+    elif config.projection_mode == "ewa":
+        means2d, depths, c00_raw, c01_raw, c11_raw = _fused_cov2d(
+            means3d, scales, quats, camera
+        )
+    else:
+        raise ValueError(
+            f"Unknown projection_mode: {config.projection_mode!r}"
+        )
 
     # eps2d dilation (projection.py:242) and determinant clamp (:248).
     c00 = c00_raw + config.eps2d

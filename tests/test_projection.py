@@ -417,3 +417,105 @@ def test_antialiased_compensation_bounds_and_grads():
     g = jax.grad(f)(jnp.asarray(log_scales))
     assert np.all(np.isfinite(np.asarray(g)))
     assert float(jnp.max(jnp.abs(g))) > 0.0
+
+
+def test_unscented_matches_ewa_in_linear_regime():
+    # Small, distant gaussians: the pinhole map is locally linear, so the
+    # UT moments must agree with the EWA linearization.
+    means, log_scales, quats, opac = make_gaussians(
+        128, seed=12, depth_range=(6.0, 12.0)
+    )
+    log_scales = log_scales - 2.0  # tiny splats
+    cam = make_camera(far=200.0)
+    args = (jnp.asarray(means), jnp.asarray(log_scales), jnp.asarray(quats),
+            jnp.asarray(opac), cam)
+    ewa = project_gaussians(*args, RenderConfig())
+    ut = project_gaussians(*args, RenderConfig(projection_mode="ut"))
+    vis = (np.asarray(ewa.radii[:, 0]) > 0) & (np.asarray(ut.radii[:, 0]) > 0)
+    assert vis.sum() > 50
+    np.testing.assert_allclose(
+        np.asarray(ut.means2d)[vis], np.asarray(ewa.means2d)[vis],
+        rtol=1e-3, atol=5e-3,
+    )
+    np.testing.assert_allclose(
+        np.asarray(ut.depths)[vis], np.asarray(ewa.depths)[vis], rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(ut.conics)[vis], np.asarray(ewa.conics)[vis],
+        rtol=2e-2, atol=1e-3,
+    )
+
+
+def test_unscented_diverges_for_near_large_splats():
+    # A big near splat: EWA's first-order Jacobian underestimates the
+    # perspective curvature; UT must produce a different (and valid,
+    # positive-definite) covariance.
+    cam = make_camera()
+    args = (
+        jnp.array([[0.3, 0.2, 0.9]]),
+        jnp.full((1, 3), -0.5),
+        jnp.array([[1.0, 0.0, 0.0, 0.0]]),
+        jnp.array([0.9]),
+        cam,
+    )
+    ewa = project_gaussians(*args, RenderConfig())
+    ut = project_gaussians(*args, RenderConfig(projection_mode="ut"))
+    a, b, c = [float(x) for x in ut.conics[0]]
+    assert a > 0 and c > 0 and a * c - b * b > 0  # PSD conic
+    rel = abs(float(ut.conics[0, 0]) - float(ewa.conics[0, 0])) / float(
+        ewa.conics[0, 0]
+    )
+    assert rel > 0.02
+
+
+def test_unscented_gradients_flow():
+    means, log_scales, quats, opac = make_gaussians(32, seed=13)
+    cam = make_camera()
+    cfg = RenderConfig(projection_mode="ut")
+
+    def f(m, ls):
+        r = project_gaussians(
+            m, ls, jnp.asarray(quats), jnp.asarray(opac), cam, cfg
+        )
+        return jnp.sum(r.means2d**2) + jnp.sum(r.conics**2)
+
+    gm, gs = jax.grad(f, argnums=(0, 1))(
+        jnp.asarray(means), jnp.asarray(log_scales)
+    )
+    assert np.all(np.isfinite(np.asarray(gm)))
+    assert np.all(np.isfinite(np.asarray(gs)))
+    assert float(jnp.max(jnp.abs(gm))) > 0
+
+
+def test_unscented_end_to_end_render():
+    from mojosplat_tpu import render_gaussians
+
+    rng = np.random.default_rng(3)
+    n = 100
+    means = np.concatenate(
+        [rng.normal(0, 0.3, (n, 2)), rng.uniform(1.5, 4.0, (n, 1))], axis=1
+    ).astype(np.float32)
+    cam = make_camera()
+    common = dict(
+        means3d=jnp.asarray(means),
+        scales=jnp.asarray(rng.normal(-1.8, 0.2, (n, 3)).astype(np.float32)),
+        quats=jnp.asarray(
+            rng.normal(0, 1, (n, 4)).astype(np.float32)
+        ),
+        opacities=jnp.asarray(rng.uniform(0.4, 0.9, n).astype(np.float32)),
+        features=jnp.asarray(rng.uniform(0, 1, (n, 3)).astype(np.float32)),
+        camera=cam,
+    )
+    img_ut = render_gaussians(
+        **common,
+        config=RenderConfig(projection_mode="ut", tile_capacity=128,
+                            chunk_size=32),
+    )
+    img_ewa = render_gaussians(
+        **common, config=RenderConfig(tile_capacity=128, chunk_size=32)
+    )
+    assert np.all(np.isfinite(np.asarray(img_ut)))
+    # Same scene, slightly different linearizations: images are close but
+    # not identical.
+    diff = float(jnp.mean(jnp.abs(img_ut - img_ewa)))
+    assert diff < 0.05

@@ -290,11 +290,30 @@ def _unscented_cov2d(means3d, scales, quats, camera, config):
     Mc = jnp.einsum("ij,njk->nik", camera.R, M)  # (N, 3, 3)
 
     cols = gamma * Mc.transpose(0, 2, 1)  # (N, 3, 3) rows = scaled columns
+
+    # Input sanitization (double-where): behind-camera gaussians are culled
+    # downstream (depth <= near zeroes their radii), but their sigma points
+    # would still flow garbage magnitudes (x / z_floor ~ 1e8, squared past
+    # f32 range in the conic backward) through autodiff as NaN. Replace the
+    # *inputs* for those lanes with a unit dummy so every branch value stays
+    # finite; straddling splats (center in front, some sigma point behind)
+    # get a z floor relative to their center depth, which bounds the pushed
+    # points to ~100x the focal scale — the UT analogue of EWA's guard-band
+    # clamp (projection.py:143-148).
+    zc = mu_c[:, 2]
+    ok = zc > 1e-3
+    mu_safe = jnp.where(ok[:, None], mu_c, jnp.array([0.0, 0.0, 1.0]))
+    cols_safe = jnp.where(ok[:, None, None], cols, 0.0)
     pts = jnp.concatenate(
-        [mu_c[:, None, :], mu_c[:, None, :] + cols, mu_c[:, None, :] - cols],
+        [
+            mu_safe[:, None, :],
+            mu_safe[:, None, :] + cols_safe,
+            mu_safe[:, None, :] - cols_safe,
+        ],
         axis=1,
     )  # (N, 7, 3)
-    z = jnp.maximum(pts[..., 2], 1e-6)  # behind-camera points are near-culled
+    z_floor = 0.01 * jnp.where(ok, zc, 1.0)
+    z = jnp.maximum(pts[..., 2], z_floor[:, None])
     y = jnp.stack(
         [
             camera.fx * pts[..., 0] / z + camera.cx,
@@ -314,7 +333,9 @@ def _unscented_cov2d(means3d, scales, quats, camera, config):
     c00 = jnp.einsum("k,nk->n", wc, diff[..., 0] * diff[..., 0])
     c01 = jnp.einsum("k,nk->n", wc, diff[..., 0] * diff[..., 1])
     c11 = jnp.einsum("k,nk->n", wc, diff[..., 1] * diff[..., 1])
-    return mean, mu_c[:, 2], c00, c01, c11
+    # Real depth (zc, not the sanitized dummy) so near/far culling sees the
+    # true camera-space z and removes the dummy-projected lanes.
+    return mean, zc, c00, c01, c11
 
 
 def project_gaussians(

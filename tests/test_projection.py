@@ -519,3 +519,34 @@ def test_unscented_end_to_end_render():
     # not identical.
     diff = float(jnp.mean(jnp.abs(img_ut - img_ewa)))
     assert diff < 0.05
+
+
+def test_unscented_grads_finite_with_behind_camera_gaussians():
+    # Regression: behind-camera sigma points must not leak NaN into the
+    # full render gradient (double-where input sanitization).
+    from mojosplat_tpu import render_gaussians
+
+    rng = np.random.default_rng(4)
+    n = 200
+    means = rng.normal(0, 0.8, (n, 3)).astype(np.float32)  # half behind
+    cam = make_camera()
+    cfg = RenderConfig(projection_mode="ut", tile_capacity=128, chunk_size=32)
+    p = dict(
+        means3d=jnp.asarray(means),
+        scales=jnp.asarray(rng.normal(-1.8, 0.3, (n, 3)).astype(np.float32)),
+        quats=jnp.asarray(rng.normal(0, 1, (n, 4)).astype(np.float32)),
+        opacities=jnp.asarray(rng.uniform(0.3, 0.9, n).astype(np.float32)),
+        features=jnp.asarray(rng.uniform(0, 1, (n, 3)).astype(np.float32)),
+    )
+
+    def loss(q):
+        img = render_gaussians(
+            q["means3d"], q["scales"], q["quats"], q["opacities"],
+            q["features"], cam, config=cfg,
+        )
+        return jnp.mean(img**2)
+
+    g = jax.grad(loss)(p)
+    for k, v in g.items():
+        assert np.all(np.isfinite(np.asarray(v))), f"NaN grad in {k}"
+    assert float(jnp.linalg.norm(g["means3d"])) > 0

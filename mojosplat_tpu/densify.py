@@ -326,13 +326,11 @@ def mcmc_relocate(
 
     new_params = dict(params)
     moved = dead & any_alive
-    sel = lambda new, old: jnp.where(  # noqa: E731
-        (moved | (counts > 1))[..., None]
-        if new.ndim > 1
-        else (moved | (counts > 1)),
-        new,
-        old,
-    )
+    touched = moved | (counts > 1)
+
+    def sel(new, old):
+        c = touched.reshape(touched.shape + (1,) * (new.ndim - 1))
+        return jnp.where(c, new, old)
     new_params["means3d"] = sel(take(params["means3d"]), params["means3d"])
     new_params["quats"] = sel(take(params["quats"]), params["quats"])
     new_params["features"] = sel(take(params["features"]),

@@ -245,3 +245,13 @@ def test_mcmc_regularization_jittable():
     p = small_params(n=16, seed=4)
     val = jax.jit(lambda q: mcmc_regularization(q))(p)
     assert np.isfinite(float(val)) and float(val) > 0
+
+
+def test_mcmc_relocate_sh_features():
+    # SH-shaped features (N, K, 3) must broadcast through relocation.
+    p = mtrain.init_gaussians(jax.random.PRNGKey(3), 32, sh_degree=1)
+    p["opacities_raw"] = p["opacities_raw"].at[:8].set(-12.0)
+    new_p, metrics = mcmc_relocate(p, jax.random.PRNGKey(4))
+    assert int(metrics["relocated"]) == 8
+    assert new_p["features"].shape == p["features"].shape
+    assert bool(jnp.all(jnp.isfinite(new_p["features"])))

@@ -130,6 +130,63 @@ def make_optimizer(lr: float = 1e-2) -> optax.GradientTransformation:
     return optax.adam(lr)
 
 
+def selective_adam(
+    learning_rate: float = 1e-2,
+    b1: float = 0.9,
+    b2: float = 0.999,
+    eps: float = 1e-8,
+) -> optax.GradientTransformation:
+    """Adam that freezes rows whose gradient is exactly zero this step.
+
+    The per-gaussian analogue of gsplat's ``selective_adam``: a gaussian
+    culled or binned outside every rendered tile receives an exactly-zero
+    gradient (culling is jnp.where-masked, binning is stop_gradient'ed), yet
+    plain Adam still decays its moments and applies a drift update
+    m/(sqrt(v)+eps) from stale moments. Here rows with all-zero gradients
+    keep their moments AND parameters untouched — matching single-GPU 3DGS
+    trainers that only step visible gaussians. Leading-axis rows are
+    detected per leaf, so (N,), (N,3) and (N,K,3) parameters all work.
+    """
+    adam = optax.adam(learning_rate, b1=b1, b2=b2, eps=eps)
+
+    def init(params):
+        return adam.init(params)
+
+    def update(grads, state, params=None):
+        visible = jax.tree_util.tree_map(
+            lambda g: jnp.any(
+                g != 0, axis=tuple(range(1, g.ndim)), keepdims=False
+            ),
+            grads,
+        )
+
+        def rowmask(v, like):
+            return v.reshape(v.shape + (1,) * (like.ndim - 1))
+
+        updates, new_state = adam.update(grads, state, params)
+        updates = jax.tree_util.tree_map(
+            lambda u, v: jnp.where(rowmask(v, u), u, 0.0), updates, visible
+        )
+        # Freeze first/second moments of invisible rows (count still
+        # advances globally, as in the CUDA implementation).
+        # optax.adam state = (ScaleByAdamState(count, mu, nu), EmptyState());
+        # mask mu/nu per leaf against the matching visibility leaf.
+        sba_new, rest = new_state
+        sba_old, _ = state
+        mu = jax.tree_util.tree_map(
+            lambda n, o, v: jnp.where(rowmask(v, n), n, o),
+            sba_new.mu, sba_old.mu, visible,
+        )
+        nu = jax.tree_util.tree_map(
+            lambda n, o, v: jnp.where(rowmask(v, n), n, o),
+            sba_new.nu, sba_old.nu, visible,
+        )
+        new_state = (sba_new._replace(mu=mu, nu=nu), rest)
+        return updates, new_state
+
+    return optax.GradientTransformation(init, update)
+
+
 def init_train_state(params, optimizer) -> TrainState:
     return TrainState(
         params=params,

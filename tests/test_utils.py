@@ -99,3 +99,51 @@ class TestSSIM:
         g = jax.grad(lambda x: dssim_l1_loss(x, b))(a)
         assert g.shape == a.shape
         assert bool(jnp.all(jnp.isfinite(g)))
+
+
+# ---------------------------------------------------------------------------
+# selective_adam
+# ---------------------------------------------------------------------------
+
+def test_selective_adam_freezes_zero_grad_rows():
+    import optax
+    from mojosplat_tpu import train as mtrain
+
+    params = dict(
+        means3d=jnp.ones((6, 3)),
+        features=jnp.ones((6, 2, 3)),
+        opacities_raw=jnp.ones((6,)),
+    )
+    grads = jax.tree_util.tree_map(jnp.ones_like, params)
+    # Rows 0 and 3 got no gradient (culled / out of every tile).
+    for k in grads:
+        grads[k] = grads[k].at[0].set(0.0).at[3].set(0.0)
+
+    opt = mtrain.selective_adam(1e-2)
+    state = opt.init(params)
+    for _ in range(3):
+        updates, state = opt.update(grads, state, params)
+        params = optax.apply_updates(params, updates)
+
+    for k, v in params.items():
+        moved = np.asarray(v != 1.0).reshape(6, -1).any(axis=1)
+        assert not moved[0] and not moved[3], k
+        assert moved[[1, 2, 4, 5]].all(), k
+    # Moments of frozen rows stay zero.
+    sba = state[0]
+    for k in params:
+        assert float(jnp.abs(sba.mu[k][0]).max()) == 0.0
+        assert float(jnp.abs(sba.mu[k][1]).max()) > 0.0
+
+
+def test_selective_adam_matches_adam_when_all_visible():
+    import optax
+    from mojosplat_tpu import train as mtrain
+
+    params = dict(a=jnp.linspace(0, 1, 12).reshape(4, 3))
+    grads = dict(a=jnp.full((4, 3), 0.5))
+    sel, ada = mtrain.selective_adam(1e-2), optax.adam(1e-2)
+    s1, s2 = sel.init(params), ada.init(params)
+    u1, _ = sel.update(grads, s1, params)
+    u2, _ = ada.update(grads, s2, params)
+    np.testing.assert_allclose(np.asarray(u1["a"]), np.asarray(u2["a"]))

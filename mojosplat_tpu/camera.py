@@ -25,7 +25,7 @@ import jax.numpy as jnp
 
 @partial(
     jax.tree_util.register_dataclass,
-    data_fields=["R", "T", "fx", "fy", "cx", "cy", "near", "far"],
+    data_fields=["R", "T", "fx", "fy", "cx", "cy", "near", "far", "dist"],
     meta_fields=["H", "W"],
 )
 @dataclasses.dataclass(frozen=True)
@@ -34,6 +34,14 @@ class Camera:
 
     Leading batch dimensions are allowed on every data field (e.g. ``R`` of
     shape ``(B, 3, 3)``) for batched multi-view rendering.
+
+    ``dist`` holds OpenCV-convention distortion coefficients
+    (k1, k2, p1, p2, k3) — the lens model behind the 5 reserved slots in the
+    reference's flattened intrinsics vector ([fx, fy, cx, cy, k1..k5],
+    projection.py:444-447, which it always fills with zeros). Distortion is
+    applied by the unscented projection mode (config.projection_mode="ut" —
+    sigma points go through the exact distorted map); the EWA mode, like the
+    reference, ignores it.
     """
 
     R: jax.Array  # (..., 3, 3) world-to-camera rotation
@@ -46,6 +54,7 @@ class Camera:
     cy: jax.Array
     near: jax.Array
     far: jax.Array
+    dist: jax.Array  # (..., 5) OpenCV (k1, k2, p1, p2, k3)
 
     @staticmethod
     def create(
@@ -59,21 +68,32 @@ class Camera:
         cy,
         near=0.1,
         far=100.0,
+        dist=None,
         dtype=jnp.float32,
     ) -> "Camera":
-        """Build a camera, coercing scalars/arrays to the given dtype."""
+        """Build a camera, coercing scalars/arrays to the given dtype.
+
+        ``dist``: optional (..., 5) OpenCV (k1, k2, p1, p2, k3); defaults to
+        zeros (ideal pinhole), broadcast to the batch shape of ``fx``.
+        """
         as_arr = lambda v: jnp.asarray(v, dtype=dtype)
+        fx_a = as_arr(fx)
+        if dist is None:
+            dist_a = jnp.zeros(fx_a.shape + (5,), dtype)
+        else:
+            dist_a = jnp.broadcast_to(as_arr(dist), fx_a.shape + (5,))
         return Camera(
             R=as_arr(R),
             T=as_arr(T),
             H=int(H),
             W=int(W),
-            fx=as_arr(fx),
+            fx=fx_a,
             fy=as_arr(fy),
             cx=as_arr(cx),
             cy=as_arr(cy),
             near=as_arr(near),
             far=as_arr(far),
+            dist=dist_a,
         )
 
     @property

@@ -314,11 +314,21 @@ def _unscented_cov2d(means3d, scales, quats, camera, config):
     )  # (N, 7, 3)
     z_floor = 0.01 * jnp.where(ok, zc, 1.0)
     z = jnp.maximum(pts[..., 2], z_floor[:, None])
+    xn = pts[..., 0] / z  # (N, 7) normalized image coordinates
+    yn = pts[..., 1] / z
+    # OpenCV radial/tangential lens distortion (k1, k2, p1, p2, k3) — the
+    # model behind the reference's 5 reserved-and-zeroed intrinsics slots
+    # (projection.py:444-447). Sigma points go through the EXACT distorted
+    # map, which is the point of the unscented formulation (3DGUT): no
+    # distortion Jacobian is ever needed. Zero coefficients reduce this to
+    # the ideal pinhole bit-for-bit (factor == 1, tangential terms == 0).
+    k1, k2, p1, p2, k3 = (camera.dist[..., i] for i in range(5))
+    r2 = xn * xn + yn * yn
+    factor = 1.0 + r2 * (k1 + r2 * (k2 + r2 * k3))
+    xd = xn * factor + 2.0 * p1 * xn * yn + p2 * (r2 + 2.0 * xn * xn)
+    yd = yn * factor + p1 * (r2 + 2.0 * yn * yn) + 2.0 * p2 * xn * yn
     y = jnp.stack(
-        [
-            camera.fx * pts[..., 0] / z + camera.cx,
-            camera.fy * pts[..., 1] / z + camera.cy,
-        ],
+        [camera.fx * xd + camera.cx, camera.fy * yd + camera.cy],
         axis=-1,
     )  # (N, 7, 2)
 

@@ -158,16 +158,33 @@ def qvec_to_rotmat(q: np.ndarray) -> np.ndarray:
 
 
 def camera_intrinsics(cam: ColmapCamera, downscale: int = 1):
-    """(fx, fy, cx, cy, W, H) from a COLMAP camera, optionally downscaled."""
+    """(fx, fy, cx, cy, W, H, dist) from a COLMAP camera, downscaled.
+
+    ``dist`` is the OpenCV (k1, k2, p1, p2, k3) vector Camera.dist expects
+    (normalized-coordinate coefficients, so downscaling leaves them
+    unchanged). Mapped models: SIMPLE_RADIAL (2), RADIAL (3), OPENCV (4),
+    FULL_OPENCV (6, truncated to k3); fisheye models are not supported and
+    fall back to zeros.
+    """
     p = cam.params
     if cam.model_id in _SINGLE_FOCAL:
         fx = fy = float(p[0])
         cx, cy = float(p[1]), float(p[2])
     else:
         fx, fy, cx, cy = map(float, p[:4])
+    dist = np.zeros(5, np.float32)
+    if cam.model_id == 2:  # SIMPLE_RADIAL: f, cx, cy, k
+        dist[0] = p[3]
+    elif cam.model_id == 3:  # RADIAL: f, cx, cy, k1, k2
+        dist[0], dist[1] = p[3], p[4]
+    elif cam.model_id == 4:  # OPENCV: fx, fy, cx, cy, k1, k2, p1, p2
+        dist[:4] = p[4:8]
+    elif cam.model_id == 6:  # FULL_OPENCV: ... k1, k2, p1, p2, k3 (+k4..k6)
+        dist[:4] = p[4:8]
+        dist[4] = p[8]
     s = float(downscale)
     return (fx / s, fy / s, cx / s, cy / s,
-            int(cam.width // downscale), int(cam.height // downscale))
+            int(cam.width // downscale), int(cam.height // downscale), dist)
 
 
 @dataclass
@@ -184,11 +201,11 @@ class ColmapScene:
         from ..camera import Camera
 
         cam = self.cameras[image.camera_id]
-        fx, fy, cx, cy, W, H = camera_intrinsics(cam, downscale)
+        fx, fy, cx, cy, W, H, dist = camera_intrinsics(cam, downscale)
         return Camera.create(
             R=qvec_to_rotmat(image.qvec).astype(np.float32),
             T=image.tvec.astype(np.float32),
-            H=H, W=W, fx=fx, fy=fy, cx=cx, cy=cy,
+            H=H, W=W, fx=fx, fy=fy, cx=cx, cy=cy, dist=dist,
         )
 
 

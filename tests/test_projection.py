@@ -550,3 +550,59 @@ def test_unscented_grads_finite_with_behind_camera_gaussians():
     for k, v in g.items():
         assert np.all(np.isfinite(np.asarray(v))), f"NaN grad in {k}"
     assert float(jnp.linalg.norm(g["means3d"])) > 0
+
+
+def test_distortion_zero_coeffs_identical():
+    means, log_scales, quats, opac = make_gaussians(32, seed=15)
+    cam0 = make_camera()
+    camz = Camera.create(
+        R=np.eye(3, dtype=np.float32), T=np.zeros(3, np.float32), H=64, W=64,
+        fx=100.0, fy=100.0, cx=32.0, cy=32.0, dist=np.zeros(5, np.float32),
+    )
+    cfg = RenderConfig(projection_mode="ut")
+    a = project_gaussians(jnp.asarray(means), jnp.asarray(log_scales),
+                          jnp.asarray(quats), jnp.asarray(opac), cam0, cfg)
+    b = project_gaussians(jnp.asarray(means), jnp.asarray(log_scales),
+                          jnp.asarray(quats), jnp.asarray(opac), camz, cfg)
+    np.testing.assert_array_equal(np.asarray(a.means2d), np.asarray(b.means2d))
+    np.testing.assert_array_equal(np.asarray(a.conics), np.asarray(b.conics))
+
+
+def test_radial_distortion_moves_points_outward():
+    # Positive k1 (barrel in this forward convention) pushes off-center
+    # points AWAY from the principal point by (1 + k1 r^2).
+    cam = Camera.create(
+        R=np.eye(3, dtype=np.float32), T=np.zeros(3, np.float32),
+        H=64, W=64, fx=100.0, fy=100.0, cx=32.0, cy=32.0,
+        dist=np.array([0.2, 0.0, 0.0, 0.0, 0.0], np.float32),
+    )
+    cfg = RenderConfig(projection_mode="ut")
+    res = project_gaussians(
+        jnp.array([[0.4, 0.0, 2.0]]),  # xn = 0.2
+        jnp.full((1, 3), -4.0),  # near-point splat: mean is the projection
+        jnp.array([[1.0, 0.0, 0.0, 0.0]]),
+        jnp.array([0.9]),
+        cam, cfg,
+    )
+    xn = 0.2
+    expected = 100.0 * xn * (1.0 + 0.2 * xn * xn) + 32.0
+    # atol 0.01 px: the UT mean legitimately differs from the pushed center
+    # by the curvature-induced shift of the finite sigma points.
+    np.testing.assert_allclose(float(res.means2d[0, 0]), expected, atol=1e-2)
+    np.testing.assert_allclose(float(res.means2d[0, 1]), 32.0, atol=1e-2)
+
+
+def test_colmap_distortion_mapping():
+    from mojosplat_tpu.utils.colmap import ColmapCamera, camera_intrinsics
+
+    cam = ColmapCamera(1, 2, 640, 480,
+                       np.array([500.0, 320.0, 240.0, 0.05]))
+    fx, fy, cx, cy, W, H, dist = camera_intrinsics(cam)
+    assert fx == fy == 500.0 and dist[0] == np.float32(0.05)
+    assert np.all(dist[1:] == 0)
+    cam4 = ColmapCamera(1, 4, 640, 480,
+                        np.array([500.0, 505.0, 320.0, 240.0,
+                                  0.1, -0.02, 1e-3, -2e-3]))
+    *_, dist4 = camera_intrinsics(cam4, downscale=2)
+    np.testing.assert_allclose(dist4[:4], [0.1, -0.02, 1e-3, -2e-3],
+                               rtol=1e-6)

@@ -24,6 +24,7 @@ import jax
 import jax.numpy as jnp
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from mojosplat_tpu import Camera, RenderConfig, look_at, render_gaussians  # noqa: E402
 from mojosplat_tpu.ops.binning import bin_gaussians_to_tiles  # noqa: E402
@@ -101,7 +102,9 @@ def main():
     print(f"{'stage':<16} {'ms/iter':>10} {'Mpix/s':>10}")
     print("-" * 40)
     for name, ms in results.items():
-        print(f"{name:<16} {ms:>10.3f} {npix / ms / 1e3:>10.2f}")
+        # amortized_ms can floor at 0.0 for sub-resolution stages (tiny CPU
+        # smoke shapes); keep the table printable.
+        print(f"{name:<16} {ms:>10.3f} {npix / max(ms, 1e-3) / 1e3:>10.2f}")
 
 
 if __name__ == "__main__":

@@ -84,7 +84,7 @@ def print_results_table(results):
         print(
             f"{r.name:<8} {r.n_gaussians:>10} {r.mean_ms:>10.3f} "
             f"{r.std_ms:>8.3f} {r.min_ms:>8.3f} {r.max_ms:>8.3f} "
-            f"{r.n_gaussians / (r.mean_ms / 1e3):>12.3e}"
+            f"{r.n_gaussians / (max(r.mean_ms, 1e-3) / 1e3):>12.3e}"
         )
 
 
@@ -146,7 +146,9 @@ def main():
     # Throughput scaling analysis (reference speedup analysis analogue).
     if len(results) >= 2:
         r0, r1 = results[0], results[-1]
-        scale = (r1.n_gaussians / r0.n_gaussians) / (r1.mean_ms / r0.mean_ms)
+        scale = (r1.n_gaussians / r0.n_gaussians) / (
+            max(r1.mean_ms, 1e-3) / max(r0.mean_ms, 1e-3)
+        )
         print(
             f"\nThroughput scaling {r0.n_gaussians} -> {r1.n_gaussians}: "
             f"{scale:.2f}x work per unit time (1.0 = linear cost)"

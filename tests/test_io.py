@@ -3,8 +3,10 @@ PNG validity. Runs with or without a C toolchain (fallback paths are always
 exercised)."""
 
 import io
+import os
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -96,3 +98,66 @@ def test_png_native_matches_pil_bytes(tmp_path):
 
     back = np.asarray(Image.open(path))
     np.testing.assert_array_equal(back, arr)
+
+
+# ---------------------------------------------------------------------------
+# .splat web-viewer format
+# ---------------------------------------------------------------------------
+
+def test_splat_round_trip(tmp_path):
+    from mojosplat_tpu.utils.splat import (
+        load_gaussian_splat,
+        save_gaussian_splat,
+    )
+
+    p = mtrain.init_gaussians(jax.random.PRNGKey(2), 64, sh_degree=2)
+    path = str(tmp_path / "scene.splat")
+    save_gaussian_splat(path, p)
+    assert os.path.getsize(path) == 64 * 32
+
+    q = load_gaussian_splat(path)
+    assert q["features"].shape == (64, 3)
+    # Positions and linear scales are exact f32; match per-gaussian via
+    # sorted order (the writer reorders by importance).
+    a = np.asarray(p["means3d"])
+    b = q["means3d"]
+    a_sorted = a[np.lexsort(a.T)]
+    b_sorted = b[np.lexsort(b.T)]
+    np.testing.assert_allclose(b_sorted, a_sorted, rtol=1e-6)
+    # Opacity round-trips through u8 within 1/255.
+    po = np.sort(1 / (1 + np.exp(-np.asarray(p["opacities_raw"]))))
+    qo = np.sort(1 / (1 + np.exp(-q["opacities_raw"])))
+    np.testing.assert_allclose(qo, po, atol=1.5 / 255)
+
+
+def test_splat_renders_like_source(tmp_path):
+    # A saved+reloaded .splat must render close to the original scene
+    # (u8 color/rotation quantization bounds the error).
+    from mojosplat_tpu import Camera, RenderConfig, render_gaussians
+    from mojosplat_tpu.utils.splat import (
+        load_gaussian_splat,
+        save_gaussian_splat,
+    )
+
+    p = mtrain.init_gaussians(jax.random.PRNGKey(4), 200, sh_degree=None,
+                              position_scale=0.5)
+    p["means3d"] = p["means3d"] + jnp.array([0.0, 0.0, 2.5])
+    path = str(tmp_path / "s.splat")
+    save_gaussian_splat(path, p)
+    q = {k: jnp.asarray(v) for k, v in load_gaussian_splat(path).items()}
+
+    cam = Camera.create(R=np.eye(3, dtype=np.float32),
+                        T=np.zeros(3, np.float32), H=64, W=64,
+                        fx=80.0, fy=80.0, cx=32.0, cy=32.0)
+    cfg = RenderConfig(tile_capacity=128, chunk_size=32)
+
+    def render(params):
+        a = mtrain.activate(dict(params))
+        return render_gaussians(
+            a["means3d"], a["scales"], a["quats"], a["opacities"],
+            a["features"], cam, config=cfg,
+        )
+
+    img_p = np.asarray(render(p))
+    img_q = np.asarray(render(q))
+    assert np.mean(np.abs(img_p - img_q)) < 0.02

@@ -14,6 +14,7 @@ Brand-new implementation of the capability surface of bertaveira/mojosplat
 from .camera import Camera, look_at
 from .config import DEFAULT_CONFIG, RenderConfig
 from .render import RenderAux, render_gaussians
+from .surfel import render_surfels
 
 __all__ = [
     "Camera",
@@ -21,6 +22,7 @@ __all__ = [
     "RenderConfig",
     "DEFAULT_CONFIG",
     "render_gaussians",
+    "render_surfels",
     "RenderAux",
 ]
 

@@ -220,6 +220,45 @@ def rasterize_gaussians(
         )
     if config.raster_impl != "xla":
         raise ValueError(f"Unknown raster_impl: {config.raster_impl!r}")
+
+    def alpha_fn(px_t, py_t, safe, valid):
+        return _pixel_alphas(
+            px_t, py_t, means2d[safe], conics[safe], opacities[safe],
+            valid, config,
+        )
+
+    return rasterize_xla_generic(
+        alpha_fn, means2d.shape[0], colors, background, binning,
+        img_height, img_width, config,
+    )
+
+
+def rasterize_xla_generic(
+    alpha_fn,
+    n_gaussians: int,
+    colors: jax.Array,  # (N, C)
+    background: jax.Array,  # (C,)
+    binning: BinningResult,
+    img_height: int,
+    img_width: int,
+    config: RenderConfig = DEFAULT_CONFIG,
+) -> tuple[jax.Array, RasterAux]:
+    """The XLA tiled blender with a pluggable per-primitive alpha model.
+
+    ``alpha_fn(px (P,), py (P,), safe_ids (K,), valid (K,)) -> (P, K)``
+    computes each primitive's alpha at each pixel (already zeroed for
+    invalid/skipped entries). The 3DGS conic model (rasterize_gaussians)
+    and the 2DGS surfel ray-intersection model (surfel.py) both plug in
+    here, sharing the chunked front-to-back recurrence, early termination,
+    background blend and aux outputs.
+    """
+    ts = config.tile_size
+    K = config.chunk_size
+    th, tw = num_tiles(img_height, img_width, ts)
+    n_tiles = th * tw
+    C = colors.shape[-1]
+    dtype = colors.dtype
+
     table, tile_overflow = build_tile_table(binning, config.tile_capacity)
     table = jax.lax.stop_gradient(table)
     num_chunks = config.tile_capacity // K
@@ -240,12 +279,9 @@ def rasterize_gaussians(
         # px_t/py_t: (P,), chunks_t: (num_chunks, K)
         def step(carry, gids):
             T, done, accum = carry
-            safe = jnp.clip(gids, 0, means2d.shape[0] - 1)
+            safe = jnp.clip(gids, 0, n_gaussians - 1)
             valid = gids >= 0
-            alpha = _pixel_alphas(
-                px_t, py_t, means2d[safe], conics[safe], opacities[safe],
-                valid, config,
-            )
+            alpha = alpha_fn(px_t, py_t, safe, valid)
             T, done, accum = _blend_chunk(
                 T, done, accum, alpha, colors[safe], config.transmittance_eps
             )

@@ -1,0 +1,197 @@
+"""2D Gaussian Splatting (surfels): a second primitive family.
+
+Implements the 2DGS model (Huang et al., "2D Gaussian Splatting for
+Geometrically Accurate Radiance Fields", SIGGRAPH 2024): each primitive is a
+flat elliptical disk — center ``p``, tangent axes ``t_u, t_v`` (first two
+columns of the quaternion rotation), scales ``(s_u, s_v)`` — and a pixel's
+response comes from the EXACT ray/disk intersection instead of a screen-space
+conic. Well beyond the reference's surface (it implements 3DGS only), but a
+standard capability of contemporary splatting frameworks.
+
+Math (camera frame): with ``qc = R_c p + t_c``, ``a = s_u R_c t_u``,
+``b = s_v R_c t_v``, the point hit by the pixel ray of normalized coords
+``(xn, yn)`` solves the 2x2 system
+
+    u (a_x - xn a_z) + v (b_x - xn b_z) = xn qc_z - qc_x
+    u (a_y - yn a_z) + v (b_y - yn b_z) = yn qc_z - qc_y
+
+and the surfel response is ``G = exp(-(u^2+v^2)/2)``. The paper's low-pass
+filter — ``max(G, G_filter)`` with a fixed sigma = sqrt(2)/2 px screen-space
+gaussian around the projected center — keeps edge-on disks visible.
+
+Reuse of the 3DGS machinery:
+  - culling / AABB radii / binning: the surfel is bounded by its own
+    flattened 3D gaussian (third scale ~ 0), so projection + binning are
+    *literally* `ops.projection.project_gaussians` / `ops.binning` on
+    log-scales ``(s_u, s_v, tiny)``.
+  - blending: `ops.rasterization.rasterize_xla_generic` with a surfel
+    alpha_fn — the same chunked front-to-back recurrence, early exit and
+    aux outputs as the 3DGS path.
+
+This family currently runs on the XLA rasterization path only
+(config.raster_impl="xla"); the per-pixel 2x2 solve maps cleanly onto the
+Pallas kernels' chunk geometry and is planned as a kernel variant.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .camera import Camera
+from .config import DEFAULT_CONFIG, RenderConfig
+from .ops.binning import bin_gaussians_to_tiles
+from .ops.projection import project_gaussians, quat_to_rotmat
+from .ops.rasterization import rasterize_xla_generic
+from .ops.sh import sh_to_color
+from .render import RenderAux
+
+_FILTER_SIGMA2 = 0.5  # (sqrt(2)/2)^2 — the paper's screen-space low-pass
+_TINY_LOG_SCALE = -13.8  # exp() ~ 1e-6: the disk's "thickness" for binning
+
+
+def surfel_alpha_data(
+    means3d: jax.Array,  # (N, 3)
+    scales: jax.Array,  # (N, 2) or (N, 3) log scales (third ignored)
+    quats: jax.Array,  # (N, 4) wxyz
+    opacities: jax.Array,  # (N,)
+    camera: Camera,
+) -> jax.Array:
+    """(N, 12) per-surfel rows [qc(3), a(3), b(3), center2d(2), opacity]."""
+    R = quat_to_rotmat(quats)  # (N, 3, 3)
+    s = jnp.exp(scales[:, :2])
+    qc = means3d @ camera.R.T + camera.T  # (N, 3)
+    a = s[:, 0:1] * (R[:, :, 0] @ camera.R.T)  # (N, 3) camera-frame axes
+    b = s[:, 1:2] * (R[:, :, 1] @ camera.R.T)
+    z = jnp.maximum(qc[:, 2], 1e-6)
+    c2 = jnp.stack(
+        [camera.fx * qc[:, 0] / z + camera.cx,
+         camera.fy * qc[:, 1] / z + camera.cy],
+        axis=-1,
+    )
+    return jnp.concatenate([qc, a, b, c2, opacities[:, None]], axis=-1)
+
+
+def _surfel_alphas(px, py, d, valid, camera, config):
+    """Alphas of K surfels at P pixels. px/py: (P,), d: (K, 12) rows."""
+    qc, a, b = d[:, 0:3], d[:, 3:6], d[:, 6:9]
+    c2, op = d[:, 9:11], d[:, 11]
+    xn = (px[:, None] - camera.cx) / camera.fx  # (P, 1) broadcast vs (K,)
+    yn = (py[:, None] - camera.cy) / camera.fy
+
+    A11 = a[None, :, 0] - xn * a[None, :, 2]  # (P, K)
+    A12 = b[None, :, 0] - xn * b[None, :, 2]
+    A21 = a[None, :, 1] - yn * a[None, :, 2]
+    A22 = b[None, :, 1] - yn * b[None, :, 2]
+    r1 = xn * qc[None, :, 2] - qc[None, :, 0]
+    r2 = yn * qc[None, :, 2] - qc[None, :, 1]
+
+    det = A11 * A22 - A12 * A21
+    ok = jnp.abs(det) > 1e-9  # ray not parallel to the disk plane
+    det_safe = jnp.where(ok, det, 1.0)  # double-where: no NaN grads
+    u = (r1 * A22 - r2 * A12) / det_safe
+    v = (A11 * r2 - A21 * r1) / det_safe
+    s2 = jnp.minimum(u * u + v * v, 1e4)
+    g_surf = jnp.where(ok, jnp.exp(-0.5 * s2), 0.0)
+
+    dx = px[:, None] - c2[None, :, 0]
+    dy = py[:, None] - c2[None, :, 1]
+    g_filt = jnp.exp(-(dx * dx + dy * dy) / (2.0 * _FILTER_SIGMA2))
+    g = jnp.maximum(g_surf, g_filt)  # the paper's low-pass max
+
+    alpha = jnp.minimum(op[None, :] * g, config.max_alpha)
+    keep = valid[None, :] & (alpha >= config.alpha_threshold)
+    return jnp.where(keep, alpha, 0.0)
+
+
+def render_surfels(
+    means3d: jax.Array,
+    scales: jax.Array,  # (N, 2) or (N, 3) log scales
+    quats: jax.Array,
+    opacities: jax.Array,
+    features: jax.Array,  # (N, 3) RGB or (N, K, 3) SH
+    camera: Camera,
+    sh_degree: int | None = None,
+    background_color: jax.Array | None = None,
+    config: RenderConfig = DEFAULT_CONFIG,
+    return_aux: bool = False,
+    return_depth: bool = False,
+    return_normals: bool = False,
+):
+    """Render 2D gaussian surfels to an (H, W, 3) image.
+
+    Same surface as render_gaussians; extra outputs: ``return_depth`` adds
+    the accumulated center-depth map, ``return_normals`` the accumulated
+    camera-frame surfel-normal map (both premultiplied by blend weights —
+    divide by ``1 - final_transmittance`` for expected values). Outputs are
+    appended to the return tuple in that order, aux last.
+    """
+    if config.raster_impl != "xla":
+        raise NotImplementedError(
+            "surfels currently render on the XLA path; use "
+            "RenderConfig(raster_impl='xla')"
+        )
+    N = means3d.shape[0]
+    if sh_degree is None:
+        colors = features
+    else:
+        colors = sh_to_color(features, means3d, camera.position, sh_degree)
+
+    if background_color is None:
+        background = jnp.zeros((3,), colors.dtype)
+    else:
+        background = jnp.asarray(background_color, dtype=colors.dtype)
+
+    # Flattened-gaussian bound for culling/AABB/binning: the disk is the
+    # support of a 3D gaussian with a ~zero third axis, so the 3DGS
+    # projection bounds it (the eps2d dilation also covers the low-pass
+    # filter's ~2.3 px footprint).
+    scales3 = jnp.concatenate(
+        [scales[:, :2], jnp.full((N, 1), _TINY_LOG_SCALE, scales.dtype)],
+        axis=-1,
+    )
+    proj = project_gaussians(means3d, scales3, quats, opacities, camera,
+                             config)
+    binning = bin_gaussians_to_tiles(
+        proj.means2d, proj.radii, proj.depths, camera.H, camera.W, config
+    )
+
+    data = surfel_alpha_data(means3d, scales, quats, opacities, camera)
+
+    channels = [colors]
+    if return_depth:
+        channels.append(proj.depths[:, None].astype(colors.dtype))
+    if return_normals:
+        a, b = data[:, 3:6], data[:, 6:9]
+        n = jnp.cross(a, b)
+        n = n / jnp.maximum(jnp.linalg.norm(n, axis=-1, keepdims=True),
+                            1e-12)
+        # Orient toward the viewer (the paper flips by sign of n . dir).
+        n = jnp.where((n[:, 2:3] > 0), -n, n)
+        channels.append(n.astype(colors.dtype))
+    colors_ext = jnp.concatenate(channels, axis=-1)
+    background_ext = jnp.concatenate(
+        [background,
+         jnp.zeros((colors_ext.shape[-1] - 3,), background.dtype)]
+    )
+
+    def alpha_fn(px_t, py_t, safe, valid):
+        return _surfel_alphas(
+            px_t, py_t, data[safe], valid, camera, config
+        )
+
+    img, raster_aux = rasterize_xla_generic(
+        alpha_fn, N, colors_ext, background_ext, binning,
+        camera.H, camera.W, config,
+    )
+    out = (img[..., :3],)
+    c = 3
+    if return_depth:
+        out = out + (img[..., c],)
+        c += 1
+    if return_normals:
+        out = out + (img[..., c : c + 3],)
+        c += 3
+    if return_aux:
+        out = out + (RenderAux(binning=binning.aux, raster=raster_aux),)
+    return out[0] if len(out) == 1 else out

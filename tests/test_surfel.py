@@ -1,0 +1,159 @@
+"""2DGS surfel family tests: exact ray/disk response, low-pass filter,
+equivalence with a flattened 3DGS gaussian, depth/normal maps, gradients."""
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mojosplat_tpu import Camera, RenderConfig, render_gaussians
+from mojosplat_tpu.surfel import render_surfels, surfel_alpha_data
+
+CFG = RenderConfig(tile_capacity=128, chunk_size=32)
+
+
+def make_camera(H=64, W=64, fx=100.0):
+    return Camera.create(
+        R=np.eye(3, dtype=np.float32), T=np.zeros(3, np.float32),
+        H=H, W=W, fx=fx, fy=fx, cx=W / 2, cy=H / 2,
+    )
+
+
+def one_surfel(z=2.0, s=0.2, opacity=0.9, color=(1.0, 0.0, 0.0),
+               quat=(1.0, 0.0, 0.0, 0.0), fx=100.0, on_pixel_center=False):
+    # on_pixel_center shifts the disk so it projects EXACTLY onto the
+    # center pixel's +0.5 sample point (rasterization.mojo:78-79).
+    off = 0.5 * z / fx if on_pixel_center else 0.0
+    return dict(
+        means3d=jnp.array([[off, off, z]]),
+        scales=jnp.full((1, 2), math.log(s)),
+        quats=jnp.array([list(quat)]),
+        opacities=jnp.array([opacity]),
+        features=jnp.array([list(color)]),
+    )
+
+
+def test_face_on_disk_center_alpha():
+    cam = make_camera()
+    img, aux = render_surfels(
+        **one_surfel(opacity=0.9, on_pixel_center=True), camera=cam,
+        config=CFG, return_aux=True,
+    )
+    cy, cx = cam.H // 2, cam.W // 2
+    alpha = 1.0 - float(aux.raster.final_transmittance[cy, cx])
+    np.testing.assert_allclose(alpha, 0.9, atol=1e-3)
+    np.testing.assert_allclose(float(img[cy, cx, 0]), 0.9, atol=1e-3)
+    assert float(img[0, 0, 0]) == 0.0  # corners untouched
+
+
+def test_face_on_profile_matches_formula():
+    # Face-on disk: u = dx * z / (fx * s), so the response at pixel offset
+    # dpx from center is exp(-dpx^2 z^2 / (2 fx^2 s^2)).
+    z, s, f, op = 2.0, 0.3, 100.0, 0.8
+    cam = make_camera(fx=f)
+    img, aux = render_surfels(
+        **one_surfel(z=z, s=s, opacity=op, fx=f, on_pixel_center=True),
+        camera=cam, config=CFG, return_aux=True,
+    )
+    cy, cx = cam.H // 2, cam.W // 2
+    for dpx in (3, 7, 11):
+        alpha = 1.0 - float(aux.raster.final_transmittance[cy, cx + dpx])
+        # pixel center offset is dpx exactly (both at +0.5)
+        expected = op * math.exp(-(dpx**2) * z**2 / (2 * f**2 * s**2))
+        np.testing.assert_allclose(alpha, expected, rtol=2e-2, atol=1e-3)
+
+
+def test_surfel_matches_flattened_3dgs():
+    # A 3DGS gaussian with a near-zero third axis IS a surfel (up to the
+    # different low-pass: EWA dilates by eps2d, 2DGS maxes with a 0.7 px
+    # filter) — images must agree closely for a well-resolved face-on disk.
+    cam = make_camera()
+    sp = one_surfel(z=2.0, s=0.25, opacity=0.85, color=(0.2, 0.9, 0.4))
+    img_s = render_surfels(**sp, camera=cam, config=CFG)
+    g = dict(sp)
+    g["scales"] = jnp.concatenate(
+        [sp["scales"], jnp.full((1, 1), -13.8)], axis=-1
+    )
+    img_g = render_gaussians(**g, camera=cam, config=CFG)
+    assert float(jnp.mean(jnp.abs(img_s - img_g))) < 5e-3
+
+
+def test_edge_on_disk_visible_via_filter():
+    # 90 deg rotation about x: the disk becomes edge-on; the exact
+    # intersection response vanishes but the low-pass filter keeps a
+    # ~pixel-wide footprint alive (the paper's degenerate-case fix).
+    q = (math.cos(math.pi / 4), math.sin(math.pi / 4), 0.0, 0.0)
+    cam = make_camera()
+    img, aux = render_surfels(**one_surfel(quat=q, opacity=0.9), camera=cam,
+                              config=CFG, return_aux=True)
+    cy, cx = cam.H // 2, cam.W // 2
+    alpha_c = 1.0 - float(aux.raster.final_transmittance[cy, cx])
+    assert alpha_c > 0.5  # filter keeps the center visible
+    assert np.all(np.isfinite(np.asarray(img)))
+    # But the footprint is tiny compared to face-on.
+    cover = float(jnp.sum(1.0 - aux.raster.final_transmittance > 0.01))
+    img_f, aux_f = render_surfels(**one_surfel(opacity=0.9), camera=cam,
+                                  config=CFG, return_aux=True)
+    cover_f = float(jnp.sum(1.0 - aux_f.raster.final_transmittance > 0.01))
+    assert cover < 0.35 * cover_f
+
+
+def test_depth_and_normal_maps():
+    cam = make_camera()
+    img, depth, normal, aux = render_surfels(
+        **one_surfel(z=2.0, opacity=0.95), camera=cam, config=CFG,
+        return_aux=True, return_depth=True, return_normals=True,
+    )
+    cy, cx = cam.H // 2, cam.W // 2
+    alpha = 1.0 - float(aux.raster.final_transmittance[cy, cx])
+    np.testing.assert_allclose(float(depth[cy, cx]) / alpha, 2.0, rtol=1e-4)
+    n = np.asarray(normal[cy, cx]) / alpha
+    np.testing.assert_allclose(n, [0.0, 0.0, -1.0], atol=1e-3)
+
+
+def test_surfel_gradients_finite():
+    rng = np.random.default_rng(7)
+    n = 100
+    cam = make_camera()
+    p = dict(
+        means3d=jnp.asarray(np.concatenate(
+            [rng.normal(0, 0.4, (n, 2)), rng.uniform(1.5, 4.0, (n, 1))],
+            axis=1).astype(np.float32)),
+        scales=jnp.asarray(rng.normal(-1.8, 0.3, (n, 2)).astype(np.float32)),
+        quats=jnp.asarray(rng.normal(0, 1, (n, 4)).astype(np.float32)),
+        opacities=jnp.asarray(rng.uniform(0.3, 0.9, n).astype(np.float32)),
+        features=jnp.asarray(rng.uniform(0, 1, (n, 3)).astype(np.float32)),
+    )
+
+    def loss(q):
+        img = render_surfels(
+            q["means3d"], q["scales"], q["quats"], q["opacities"],
+            q["features"], cam, config=CFG,
+            background_color=jnp.array([0.1, 0.1, 0.1]),
+        )
+        return jnp.mean(img**2)
+
+    g = jax.grad(loss)(p)
+    for k, v in g.items():
+        assert np.all(np.isfinite(np.asarray(v))), k
+    assert float(jnp.linalg.norm(g["means3d"])) > 0
+
+
+def test_surfel_alpha_data_shapes():
+    cam = make_camera()
+    p = one_surfel()
+    d = surfel_alpha_data(p["means3d"], p["scales"], p["quats"],
+                          p["opacities"], cam)
+    assert d.shape == (1, 12)
+    np.testing.assert_allclose(np.asarray(d[0, 0:3]), [0.0, 0.0, 2.0])
+
+
+def test_surfel_pallas_not_implemented():
+    cam = make_camera()
+    with pytest.raises(NotImplementedError):
+        render_surfels(
+            **one_surfel(), camera=cam,
+            config=RenderConfig(raster_impl="pallas"),
+        )

@@ -195,3 +195,54 @@ def render_surfels(
     if return_aux:
         out = out + (RenderAux(binning=binning.aux, raster=raster_aux),)
     return out[0] if len(out) == 1 else out
+
+
+def backproject_normals_from_depth(
+    expected_depth: jax.Array,  # (H, W) expected depth (depth / alpha)
+    camera: Camera,
+) -> jax.Array:
+    """(H, W, 3) camera-frame normals from the depth map's local geometry.
+
+    Backprojects each pixel to a camera-frame point p = z * (xn, yn, 1) and
+    takes the normalized cross product of the screen-space finite
+    differences dp/dx x dp/dy — the "depth normal" side of the 2DGS paper's
+    normal-consistency regularization. Oriented toward the viewer (n_z < 0).
+    """
+    H, W = expected_depth.shape
+    xs = (jnp.arange(W, dtype=expected_depth.dtype) + 0.5 - camera.cx)
+    ys = (jnp.arange(H, dtype=expected_depth.dtype) + 0.5 - camera.cy)
+    xn = xs[None, :] / camera.fx
+    yn = ys[:, None] / camera.fy
+    p = jnp.stack(
+        [expected_depth * xn, expected_depth * yn, expected_depth], axis=-1
+    )  # (H, W, 3)
+    dpdx = jnp.gradient(p, axis=1)
+    dpdy = jnp.gradient(p, axis=0)
+    n = jnp.cross(dpdx, dpdy)
+    n = n / jnp.maximum(jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-12)
+    return jnp.where(n[..., 2:3] > 0, -n, n)
+
+
+def normal_consistency_loss(
+    depth: jax.Array,  # (H, W) accumulated depth (premultiplied)
+    normal: jax.Array,  # (H, W, 3) accumulated normal (premultiplied)
+    final_transmittance: jax.Array,  # (H, W)
+    camera: Camera,
+    alpha_floor: float = 0.5,
+) -> jax.Array:
+    """The 2DGS paper's normal-consistency regularizer: alpha-weighted
+    (1 - n_render . n_depth), tying each surfel's orientation to the local
+    surface implied by the rendered depth. Only pixels with coverage above
+    ``alpha_floor`` contribute (background/silhouette pixels have no
+    meaningful depth normal)."""
+    alpha = 1.0 - final_transmittance
+    safe_a = jnp.maximum(alpha, 1e-6)
+    edepth = depth / safe_a
+    n_render = normal / safe_a[..., None]
+    n_render = n_render / jnp.maximum(
+        jnp.linalg.norm(n_render, axis=-1, keepdims=True), 1e-12
+    )
+    n_depth = backproject_normals_from_depth(edepth, camera)
+    w = jnp.where(alpha > alpha_floor, alpha, 0.0)
+    dots = jnp.sum(n_render * jax.lax.stop_gradient(n_depth), axis=-1)
+    return jnp.sum(w * (1.0 - dots)) / jnp.maximum(jnp.sum(w), 1.0)

@@ -157,3 +157,53 @@ def test_surfel_pallas_not_implemented():
             **one_surfel(), camera=cam,
             config=RenderConfig(raster_impl="pallas"),
         )
+
+
+def test_normal_consistency_loss_flat_wall():
+    # A flat face-on wall of surfels: rendered normals and depth-implied
+    # normals both equal (0,0,-1), so the loss is ~0; rotating every surfel
+    # 45 degrees away raises it.
+    from mojosplat_tpu.surfel import normal_consistency_loss
+
+    cam = make_camera()
+    rng = np.random.default_rng(9)
+    n = 400
+    xy = rng.uniform(-0.7, 0.7, (n, 2)).astype(np.float32)
+    p = dict(
+        means3d=jnp.asarray(np.c_[xy, np.full((n, 1), 2.0, np.float32)]),
+        scales=jnp.full((n, 2), math.log(0.12)),
+        quats=jnp.tile(jnp.array([[1.0, 0.0, 0.0, 0.0]]), (n, 1)),
+        opacities=jnp.full((n,), 0.95),
+        features=jnp.asarray(rng.uniform(0, 1, (n, 3)).astype(np.float32)),
+    )
+    img, depth, normal, aux = render_surfels(
+        **p, camera=cam, config=CFG, return_aux=True, return_depth=True,
+        return_normals=True,
+    )
+    loss_flat = float(normal_consistency_loss(
+        depth, normal, aux.raster.final_transmittance, cam
+    ))
+    a = math.pi / 8
+    p_rot = dict(p, quats=jnp.tile(
+        jnp.array([[math.cos(a), math.sin(a), 0.0, 0.0]]), (n, 1)
+    ))
+    img, depth, normal, aux = render_surfels(
+        **p_rot, camera=cam, config=CFG, return_aux=True, return_depth=True,
+        return_normals=True,
+    )
+    loss_rot = float(normal_consistency_loss(
+        depth, normal, aux.raster.final_transmittance, cam
+    ))
+    assert loss_flat < 0.02
+    assert loss_rot > loss_flat + 0.02
+    # Differentiable wrt surfel parameters.
+    def f(quats):
+        _i, d, nm, ax = render_surfels(
+            **dict(p, quats=quats), camera=cam, config=CFG,
+            return_aux=True, return_depth=True, return_normals=True,
+        )
+        return normal_consistency_loss(
+            d, nm, ax.raster.final_transmittance, cam
+        )
+    g = jax.grad(f)(p["quats"])
+    assert np.all(np.isfinite(np.asarray(g)))

@@ -236,13 +236,21 @@ def normal_consistency_loss(
     ``alpha_floor`` contribute (background/silhouette pixels have no
     meaningful depth normal)."""
     alpha = 1.0 - final_transmittance
-    safe_a = jnp.maximum(alpha, 1e-6)
-    edepth = depth / safe_a
-    n_render = normal / safe_a[..., None]
+    covered = alpha > alpha_floor
+    # Double-where input sanitization: at uncovered pixels the accumulated
+    # normal is exactly zero and normalize's backward is 0/0 — replace the
+    # INPUTS with a dummy unit vector there so no NaN is ever created (the
+    # w = 0 weight cannot cancel a NaN after the fact).
+    safe_a = jnp.where(covered, jnp.maximum(alpha, 1e-6), 1.0)
+    edepth = jnp.where(covered, depth, 1.0) / safe_a
+    unit_z = jnp.array([0.0, 0.0, -1.0], normal.dtype)
+    n_render = jnp.where(
+        covered[..., None], normal / safe_a[..., None], unit_z
+    )
     n_render = n_render / jnp.maximum(
         jnp.linalg.norm(n_render, axis=-1, keepdims=True), 1e-12
     )
     n_depth = backproject_normals_from_depth(edepth, camera)
-    w = jnp.where(alpha > alpha_floor, alpha, 0.0)
+    w = jnp.where(covered, alpha, 0.0)
     dots = jnp.sum(n_render * jax.lax.stop_gradient(n_depth), axis=-1)
     return jnp.sum(w * (1.0 - dots)) / jnp.maximum(jnp.sum(w), 1.0)

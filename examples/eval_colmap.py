@@ -25,13 +25,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from mojosplat_tpu import RenderConfig, render_gaussians  # noqa: E402
 from mojosplat_tpu import train as mtrain  # noqa: E402
+from mojosplat_tpu.train import psnr  # noqa: E402
 from mojosplat_tpu.utils import load_gaussian_ply, save_png  # noqa: E402
 from mojosplat_tpu.utils import colmap as cm  # noqa: E402
 from train_colmap import load_view_images  # noqa: E402
-
-
-def psnr(a, b):
-    return -10.0 * jnp.log10(jnp.mean((a - b) ** 2))
 
 
 def main():

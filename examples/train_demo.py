@@ -25,6 +25,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from mojosplat_tpu import Camera, RenderConfig, look_at, render_gaussians
 from mojosplat_tpu import train as mtrain
+from mojosplat_tpu.train import psnr
 from mojosplat_tpu.utils import save_gaussian_ply, save_png
 
 
@@ -46,11 +47,6 @@ def make_cameras(B, H, W):
         cx=jnp.full((B,), W / 2), cy=jnp.full((B,), H / 2),
         near=jnp.full((B,), 0.1), far=jnp.full((B,), 100.0),
     )
-
-
-def psnr(a, b):
-    mse = jnp.mean((a - b) ** 2)
-    return -10.0 * jnp.log10(mse + 1e-12)
 
 
 def main():

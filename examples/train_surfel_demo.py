@@ -24,15 +24,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from mojosplat_tpu import Camera, RenderConfig, look_at  # noqa: E402
 from mojosplat_tpu import train as mtrain  # noqa: E402
+from mojosplat_tpu.train import psnr  # noqa: E402
 from mojosplat_tpu.surfel import (  # noqa: E402
     normal_consistency_loss,
     render_surfels,
 )
 from mojosplat_tpu.utils import save_png  # noqa: E402
-
-
-def psnr(a, b):
-    return -10.0 * jnp.log10(jnp.mean((a - b) ** 2))
 
 
 def init_surfels(key, n, position_scale=1.0):

@@ -326,7 +326,10 @@ def mcmc_relocate(
 
     new_params = dict(params)
     moved = dead & any_alive
-    touched = moved | (counts > 1)
+    # any_alive gate: with zero alive gaussians, categorical over all -inf
+    # logits still returns indices and counts>1 would mark those slots —
+    # the event must be a strict no-op then.
+    touched = moved | ((counts > 1) & any_alive)
 
     def sel(new, old):
         c = touched.reshape(touched.shape + (1,) * (new.ndim - 1))

@@ -387,8 +387,15 @@ def project_gaussians(
     # raw covariance dominates eps2d (big splats), -> 0 for sub-pixel splats
     # whose screen-space energy the dilation would otherwise inflate.
     if config.antialiased:
-        det_raw = jnp.maximum(c00_raw * c11_raw - c01_raw * c01_raw, 0.0)
-        compensations = jnp.sqrt(det_raw / det)
+        det_raw = c00_raw * c11_raw - c01_raw * c01_raw
+        # Double-where: sqrt's backward is inf at 0, and degenerate splats
+        # (rank-1 covariances, or behind-camera lanes the UT mode maps to a
+        # zero dummy) hit det_raw <= 0 exactly — the NaN would escape
+        # through the pose/intrinsics gradient path even though the splat
+        # itself is culled.
+        pos = det_raw > 0.0
+        det_raw_safe = jnp.where(pos, det_raw, 1.0)
+        compensations = jnp.where(pos, jnp.sqrt(det_raw_safe / det), 0.0)
     else:
         compensations = jnp.ones_like(det)
 

@@ -144,14 +144,28 @@ def render_surfels(
 
     # Flattened-gaussian bound for culling/AABB/binning: the disk is the
     # support of a 3D gaussian with a ~zero third axis, so the 3DGS
-    # projection bounds it (the eps2d dilation also covers the low-pass
-    # filter's ~2.3 px footprint).
+    # projection bounds it.
     scales3 = jnp.concatenate(
         [scales[:, :2], jnp.full((N, 1), _TINY_LOG_SCALE, scales.dtype)],
         axis=-1,
     )
     proj = project_gaussians(means3d, scales3, quats, opacities, camera,
                              config)
+    # The EWA bound alone does NOT cover the low-pass filter: along an
+    # edge-on disk's thin axis it gives ~3.33*sqrt(eps2d) ~ 1.8 px, while
+    # g_filt stays above alpha_threshold out to
+    # sqrt(2 sigma_f^2 ln(op/thresh)) ~ 2.3 px — the filter-kept footprint
+    # would be truncated at tile borders. Widen surviving radii to the
+    # filter's own support.
+    safe_op = jnp.maximum(opacities, config.alpha_threshold)
+    filter_r = jnp.ceil(jnp.sqrt(
+        2.0 * _FILTER_SIGMA2 * jnp.log(safe_op / config.alpha_threshold)
+    )).astype(proj.radii.dtype)
+    radii = jnp.where(
+        proj.radii > 0, jnp.maximum(proj.radii, filter_r[:, None]),
+        proj.radii,
+    )
+    proj = proj._replace(radii=radii)
     binning = bin_gaussians_to_tiles(
         proj.means2d, proj.radii, proj.depths, camera.H, camera.W, config
     )
@@ -234,7 +248,17 @@ def normal_consistency_loss(
     (1 - n_render . n_depth), tying each surfel's orientation to the local
     surface implied by the rendered depth. Only pixels with coverage above
     ``alpha_floor`` contribute (background/silhouette pixels have no
-    meaningful depth normal)."""
+    meaningful depth normal).
+
+    Depth-source caveat: the rendered depth channel blends each surfel's
+    CENTER depth (per-primitive constants are what the blend matmul can
+    carry), not the paper's per-pixel ray-intersection depth. At surface
+    granularity — many small splats tiling a surface, the training regime —
+    the centers trace the surface and n_depth recovers its true tilt (see
+    test_normal_consistency_tilted_wall); for a SINGLE large tilted surfel
+    the interior depth is constant and n_depth degenerates to view-facing,
+    so use a modest weight early in training while splats are still
+    large."""
     alpha = 1.0 - final_transmittance
     covered = alpha > alpha_floor
     # Double-where input sanitization: at uncovered pixels the accumulated

@@ -75,6 +75,12 @@ def l2_image_loss(rendered: jax.Array, target: jax.Array) -> jax.Array:
     return jnp.mean((rendered - target) ** 2)
 
 
+def psnr(a: jax.Array, b: jax.Array) -> jax.Array:
+    """Peak signal-to-noise ratio in dB for [0, 1] images (eps-guarded so a
+    perfect fit reports ~120 dB instead of inf)."""
+    return -10.0 * jnp.log10(jnp.mean((a - b) ** 2) + 1e-12)
+
+
 def _gaussian_window(size: int = 11, sigma: float = 1.5) -> jax.Array:
     x = jnp.arange(size, dtype=jnp.float32) - (size - 1) / 2.0
     g = jnp.exp(-(x**2) / (2.0 * sigma**2))

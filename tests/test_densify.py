@@ -255,3 +255,15 @@ def test_mcmc_relocate_sh_features():
     assert int(metrics["relocated"]) == 8
     assert new_p["features"].shape == p["features"].shape
     assert bool(jnp.all(jnp.isfinite(new_p["features"])))
+
+
+def test_mcmc_relocate_strict_noop_when_all_dead():
+    # Regression (code review): with ZERO alive gaussians the event must be
+    # a strict no-op — categorical over all -inf logits still returns
+    # indices, and counts>1 used to mark those slots touched.
+    p = small_params(n=32, seed=5)
+    p["opacities_raw"] = jnp.full((32,), -12.0)  # everyone dead
+    new_p, metrics = mcmc_relocate(p, jax.random.PRNGKey(0))
+    assert int(metrics["relocated"]) == 0
+    for k in p:
+        np.testing.assert_array_equal(np.asarray(new_p[k]), np.asarray(p[k]))

@@ -606,3 +606,37 @@ def test_colmap_distortion_mapping():
     *_, dist4 = camera_intrinsics(cam4, downscale=2)
     np.testing.assert_allclose(dist4[:4], [0.1, -0.02, 1e-3, -2e-3],
                                rtol=1e-6)
+
+
+def test_antialiased_grads_finite_with_degenerate_splats():
+    # Regression (code review): sqrt(det_raw/det) backward was inf at
+    # det_raw == 0 (behind-camera UT lanes map to an exactly-zero raw
+    # covariance), leaking NaN into intrinsics/pose gradients.
+    means = jnp.array([[0.1, 0.0, 2.0], [0.0, 0.0, -1.0]])  # one behind
+    log_scales = jnp.full((2, 3), -1.5)
+    quats = jnp.array([[1.0, 0.0, 0.0, 0.0]] * 2)
+    opac = jnp.array([0.9, 0.9])
+    cfg = RenderConfig(projection_mode="ut", antialiased=True)
+
+    def f(fx):
+        cam = Camera.create(
+            R=np.eye(3, dtype=np.float32), T=np.zeros(3, np.float32),
+            H=64, W=64, fx=fx, fy=100.0, cx=32.0, cy=32.0,
+        )
+        r = project_gaussians(means, log_scales, quats, opac, cam, cfg)
+        return jnp.sum(r.compensations * opac) + jnp.sum(r.means2d)
+
+    g = jax.grad(f)(jnp.asarray(100.0))
+    assert np.isfinite(float(g))
+    # Same guard in EWA mode.
+    cfg_ewa = RenderConfig(antialiased=True)
+
+    def f2(fx):
+        cam = Camera.create(
+            R=np.eye(3, dtype=np.float32), T=np.zeros(3, np.float32),
+            H=64, W=64, fx=fx, fy=100.0, cx=32.0, cy=32.0,
+        )
+        r = project_gaussians(means, log_scales, quats, opac, cam, cfg_ewa)
+        return jnp.sum(r.compensations * opac)
+
+    assert np.isfinite(float(jax.grad(f2)(jnp.asarray(100.0))))

@@ -207,3 +207,62 @@ def test_normal_consistency_loss_flat_wall():
         )
     g = jax.grad(f)(p["quats"])
     assert np.all(np.isfinite(np.asarray(g)))
+
+
+def test_normal_consistency_tilted_wall():
+    # A tilted wall tiled by many SMALL surfels: the center depths trace the
+    # tilt, so the depth-backprojected normals match the surfel normals and
+    # the correctly-oriented wall scores lower than a mis-oriented one —
+    # the regime where the center-depth approximation is valid (see the
+    # loss docstring caveat).
+    from mojosplat_tpu.surfel import normal_consistency_loss
+
+    cam = make_camera()
+    rng = np.random.default_rng(3)
+    n = 600
+    xy = rng.uniform(-0.8, 0.8, (n, 2)).astype(np.float32)
+    tilt = math.pi / 8  # rotate wall about the y axis
+    # Rotation about +y by -tilt maps the disk normal (0,0,1) to
+    # (-sin t, 0, cos t) — the normal of the plane z = 2 + tan(t) x.
+    qw = (math.cos(tilt / 2), 0.0, -math.sin(tilt / 2), 0.0)
+    z = 2.0 + np.tan(tilt) * xy[:, 0]
+    base = dict(
+        means3d=jnp.asarray(np.c_[xy, z].astype(np.float32)),
+        scales=jnp.full((n, 2), math.log(0.08)),
+        opacities=jnp.full((n,), 0.95),
+        features=jnp.asarray(rng.uniform(0, 1, (n, 3)).astype(np.float32)),
+    )
+
+    def loss_for(quat):
+        img, depth, normal, aux = render_surfels(
+            **base, quats=jnp.tile(jnp.array([list(quat)]), (n, 1)),
+            camera=cam, config=CFG, return_aux=True, return_depth=True,
+            return_normals=True,
+        )
+        return float(normal_consistency_loss(
+            depth, normal, aux.raster.final_transmittance, cam
+        ))
+
+    loss_correct = loss_for(qw)  # disks lie in the tilted plane
+    loss_wrong = loss_for((1.0, 0.0, 0.0, 0.0))  # face-on disks on a tilt
+    assert loss_correct < 0.06
+    assert loss_wrong > loss_correct + 0.01
+
+
+def test_edge_on_filter_footprint_not_tile_truncated():
+    # Regression (code review): the EWA radius alone (~1.8 px on the thin
+    # axis) under-covered the low-pass filter's ~2.3 px support, truncating
+    # an edge-on surfel's footprint at tile borders. Place the disk right at
+    # a tile boundary and check the filter tail lands on both sides.
+    q = (math.cos(math.pi / 4), math.sin(math.pi / 4), 0.0, 0.0)  # edge-on
+    cam = make_camera()
+    # Tile boundary at x = 32 px; put the center at x = 31.8 px.
+    z = 2.0
+    x_world = (31.8 - 32.0) / 100.0 * z  # px -> world at depth z
+    p = one_surfel(z=z, s=0.3, opacity=0.95, quat=q)
+    p["means3d"] = jnp.array([[x_world, 0.0, z]])
+    img, aux = render_surfels(**p, camera=cam, config=CFG, return_aux=True)
+    alpha = 1.0 - np.asarray(aux.raster.final_transmittance)
+    row = alpha[32]
+    # Pixels on BOTH sides of the boundary catch the filter tail.
+    assert row[31] > 1e-3 and row[32] > 1e-3 and row[33] > 1e-3

@@ -59,7 +59,8 @@ class RasterAux(NamedTuple):
     tile_overflow: jax.Array  # int32: intersections dropped by tile_capacity
 
 
-def _blend_chunk(T_in, done_in, accum_in, alpha, colors_chunk, eps):
+def _blend_chunk(T_in, done_in, accum_in, alpha, colors_chunk, eps,
+                 vals=None, accum_vals_in=None):
     """One chunk of the front-to-back recurrence, vectorized over pixels.
 
     Args:
@@ -71,8 +72,11 @@ def _blend_chunk(T_in, done_in, accum_in, alpha, colors_chunk, eps):
             zeroed for skipped gaussians (sigma<0 / alpha<1/255 / padding).
         colors_chunk: (K, C) gaussian colors.
         eps: early-termination transmittance threshold (1e-4).
+        vals: optional (P, K, V) PER-PIXEL values to blend (e.g. a surfel's
+            ray-intersection depth, which unlike a color varies per pixel);
+            accumulated into accum_vals_in (P, V) with the same weights.
 
-    Returns updated (T, done, accum).
+    Returns updated (T, done, accum[, accum_vals]).
     """
     one_minus = 1.0 - alpha
     # Inclusive running transmittance with the *original* alphas; because T is
@@ -97,7 +101,10 @@ def _blend_chunk(T_in, done_in, accum_in, alpha, colors_chunk, eps):
 
     T_out = T_in * jnp.prod(one_minus_eff, axis=1)
     done_out = done_in | (T_after[:, -1] <= eps)
-    return T_out, done_out, accum
+    if vals is None:
+        return T_out, done_out, accum
+    accum_vals = accum_vals_in + jnp.einsum("pk,pkv->pv", weights, vals)
+    return T_out, done_out, accum, accum_vals
 
 
 def _pixel_alphas(px, py, means_k, conics_k, opac_k, valid_k, config):
@@ -242,6 +249,7 @@ def rasterize_xla_generic(
     img_height: int,
     img_width: int,
     config: RenderConfig = DEFAULT_CONFIG,
+    n_pixel_values: int = 0,
 ) -> tuple[jax.Array, RasterAux]:
     """The XLA tiled blender with a pluggable per-primitive alpha model.
 
@@ -251,6 +259,11 @@ def rasterize_xla_generic(
     and the 2DGS surfel ray-intersection model (surfel.py) both plug in
     here, sharing the chunked front-to-back recurrence, early termination,
     background blend and aux outputs.
+
+    With ``n_pixel_values = V > 0``, alpha_fn instead returns a tuple
+    ``(alpha (P, K), vals (P, K, V))`` of PER-PIXEL per-primitive values
+    (e.g. ray-intersection depths) blended with the same weights and
+    appended to the image as V extra channels (zero background).
     """
     ts = config.tile_size
     K = config.chunk_size
@@ -275,26 +288,39 @@ def rasterize_xla_generic(
 
     P = ts * ts
 
+    V = n_pixel_values
+
     def tile_fn(px_t, py_t, chunks_t):
         # px_t/py_t: (P,), chunks_t: (num_chunks, K)
         def step(carry, gids):
-            T, done, accum = carry
+            T, done, accum, accum_v = carry
             safe = jnp.clip(gids, 0, n_gaussians - 1)
             valid = gids >= 0
-            alpha = alpha_fn(px_t, py_t, safe, valid)
-            T, done, accum = _blend_chunk(
-                T, done, accum, alpha, colors[safe], config.transmittance_eps
-            )
-            return (T, done, accum), None
+            if V:
+                alpha, vals = alpha_fn(px_t, py_t, safe, valid)
+                T, done, accum, accum_v = _blend_chunk(
+                    T, done, accum, alpha, colors[safe],
+                    config.transmittance_eps, vals, accum_v,
+                )
+            else:
+                alpha = alpha_fn(px_t, py_t, safe, valid)
+                T, done, accum = _blend_chunk(
+                    T, done, accum, alpha, colors[safe],
+                    config.transmittance_eps,
+                )
+            return (T, done, accum, accum_v), None
 
         init = (
             jnp.ones((P,), dtype),
             jnp.zeros((P,), jnp.bool_),
             jnp.zeros((P, C), dtype),
+            jnp.zeros((P, max(V, 1)), dtype),
         )
         step_fn = jax.checkpoint(step) if config.remat else step
-        (T, _done, accum), _ = jax.lax.scan(step_fn, init, chunks_t)
+        (T, _done, accum, accum_v), _ = jax.lax.scan(step_fn, init, chunks_t)
         out = accum + T[:, None] * background[None, :]
+        if V:
+            out = jnp.concatenate([out, accum_v], axis=-1)
         return out, T
 
     if config.tile_batch is None:
@@ -313,7 +339,7 @@ def rasterize_xla_generic(
         img = img.transpose(0, 2, 1, 3, 4)
         return img.reshape(th * ts, tw * ts, channels)[:img_height, :img_width]
 
-    image = assemble(out_tiles, C)
+    image = assemble(out_tiles, C + V)
     final_T = assemble(T_tiles[..., None], 1)[..., 0]
     return image, RasterAux(final_transmittance=final_T, tile_overflow=tile_overflow)
 

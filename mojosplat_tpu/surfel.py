@@ -72,8 +72,14 @@ def surfel_alpha_data(
     return jnp.concatenate([qc, a, b, c2, opacities[:, None]], axis=-1)
 
 
-def _surfel_alphas(px, py, d, valid, camera, config):
-    """Alphas of K surfels at P pixels. px/py: (P,), d: (K, 12) rows."""
+def _surfel_alphas(px, py, d, valid, camera, config, with_depth=False):
+    """Alphas of K surfels at P pixels. px/py: (P,), d: (K, 12) rows.
+
+    With ``with_depth`` also returns (P, K, 2) per-pixel values
+    [z, z^2] of the ray/disk INTERSECTION depth (the paper's depth, not the
+    splat center's) — falling back to the center depth on pixels where the
+    low-pass filter dominates (edge-on: the intersection is ill-defined).
+    """
     qc, a, b = d[:, 0:3], d[:, 3:6], d[:, 6:9]
     c2, op = d[:, 9:11], d[:, 11]
     xn = (px[:, None] - camera.cx) / camera.fx  # (P, 1) broadcast vs (K,)
@@ -101,7 +107,16 @@ def _surfel_alphas(px, py, d, valid, camera, config):
 
     alpha = jnp.minimum(op[None, :] * g, config.max_alpha)
     keep = valid[None, :] & (alpha >= config.alpha_threshold)
-    return jnp.where(keep, alpha, 0.0)
+    alpha = jnp.where(keep, alpha, 0.0)
+    if not with_depth:
+        return alpha
+    z_surf = (
+        qc[None, :, 2] + u * a[None, :, 2] + v * b[None, :, 2]
+    )
+    use_surf = ok & (g_surf >= g_filt)
+    z = jnp.where(use_surf, z_surf, qc[None, :, 2])
+    vals = jnp.stack([z, z * z], axis=-1)  # (P, K, 2)
+    return alpha, vals
 
 
 def render_surfels(
@@ -117,14 +132,21 @@ def render_surfels(
     return_aux: bool = False,
     return_depth: bool = False,
     return_normals: bool = False,
+    return_distortion: bool = False,
 ):
     """Render 2D gaussian surfels to an (H, W, 3) image.
 
-    Same surface as render_gaussians; extra outputs: ``return_depth`` adds
-    the accumulated center-depth map, ``return_normals`` the accumulated
-    camera-frame surfel-normal map (both premultiplied by blend weights —
-    divide by ``1 - final_transmittance`` for expected values). Outputs are
-    appended to the return tuple in that order, aux last.
+    Same surface as render_gaussians; extra outputs (appended in this order,
+    aux last):
+      - ``return_depth``: accumulated per-pixel ray/disk INTERSECTION depth
+        (the paper's depth; premultiplied — divide by
+        ``1 - final_transmittance`` for expected depth).
+      - ``return_normals``: accumulated camera-frame surfel normals
+        (premultiplied).
+      - ``return_distortion``: the 2DGS depth-distortion map
+        2 * (alpha * sum(w z^2) - sum(w z)^2) — the pairwise-depth-spread
+        regularizer of the paper's eq. 4 in moment form; take its mean over
+        covered pixels as the loss.
     """
     if config.raster_impl != "xla":
         raise NotImplementedError(
@@ -171,10 +193,9 @@ def render_surfels(
     )
 
     data = surfel_alpha_data(means3d, scales, quats, opacities, camera)
+    want_vals = return_depth or return_distortion
 
     channels = [colors]
-    if return_depth:
-        channels.append(proj.depths[:, None].astype(colors.dtype))
     if return_normals:
         a, b = data[:, 3:6], data[:, 6:9]
         n = jnp.cross(a, b)
@@ -191,24 +212,32 @@ def render_surfels(
 
     def alpha_fn(px_t, py_t, safe, valid):
         return _surfel_alphas(
-            px_t, py_t, data[safe], valid, camera, config
+            px_t, py_t, data[safe], valid, camera, config,
+            with_depth=want_vals,
         )
 
     img, raster_aux = rasterize_xla_generic(
         alpha_fn, N, colors_ext, background_ext, binning,
         camera.H, camera.W, config,
+        n_pixel_values=2 if want_vals else 0,
     )
-    out = (img[..., :3],)
-    c = 3
+    # Channel layout: [rgb(3), normals(3 if requested), m1, m2] where
+    # m1 = sum(w z), m2 = sum(w z^2) (present when want_vals).
+    nc = 6 if return_normals else 3
+    m1 = img[..., nc] if want_vals else None
+    m2 = img[..., nc + 1] if want_vals else None
+
+    ordered = [img[..., :3]]
     if return_depth:
-        out = out + (img[..., c],)
-        c += 1
+        ordered.append(m1)
     if return_normals:
-        out = out + (img[..., c : c + 3],)
-        c += 3
+        ordered.append(img[..., 3:6])
+    if return_distortion:
+        alpha_map = 1.0 - raster_aux.final_transmittance
+        ordered.append(2.0 * (alpha_map * m2 - m1 * m1))
     if return_aux:
-        out = out + (RenderAux(binning=binning.aux, raster=raster_aux),)
-    return out[0] if len(out) == 1 else out
+        ordered.append(RenderAux(binning=binning.aux, raster=raster_aux))
+    return ordered[0] if len(ordered) == 1 else tuple(ordered)
 
 
 def backproject_normals_from_depth(
@@ -250,15 +279,11 @@ def normal_consistency_loss(
     ``alpha_floor`` contribute (background/silhouette pixels have no
     meaningful depth normal).
 
-    Depth-source caveat: the rendered depth channel blends each surfel's
-    CENTER depth (per-primitive constants are what the blend matmul can
-    carry), not the paper's per-pixel ray-intersection depth. At surface
-    granularity — many small splats tiling a surface, the training regime —
-    the centers trace the surface and n_depth recovers its true tilt (see
-    test_normal_consistency_tilted_wall); for a SINGLE large tilted surfel
-    the interior depth is constant and n_depth degenerates to view-facing,
-    so use a modest weight early in training while splats are still
-    large."""
+    Pass the depth map from ``render_surfels(..., return_depth=True)``: it
+    blends the per-pixel ray/disk INTERSECTION depth (the paper's depth),
+    so a single tilted surfel's interior already traces its tilt and the
+    depth-backprojected normals agree with the surfel normals at any splat
+    size (validated by test_normal_consistency_tilted_wall)."""
     alpha = 1.0 - final_transmittance
     covered = alpha > alpha_floor
     # Double-where input sanitization: at uncovered pixels the accumulated

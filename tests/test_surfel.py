@@ -266,3 +266,52 @@ def test_edge_on_filter_footprint_not_tile_truncated():
     row = alpha[32]
     # Pixels on BOTH sides of the boundary catch the filter tail.
     assert row[31] > 1e-3 and row[32] > 1e-3 and row[33] > 1e-3
+
+
+def test_intersection_depth_traces_tilt_within_one_surfel():
+    # The depth channel is the per-pixel ray/disk intersection depth: a
+    # SINGLE tilted surfel's expected depth varies across its interior with
+    # the plane's slope (the center-depth approximation would be constant).
+    tilt = math.pi / 6
+    q = (math.cos(tilt / 2), 0.0, -math.sin(tilt / 2), 0.0)
+    cam = make_camera()
+    p = one_surfel(z=2.0, s=0.5, opacity=0.95, quat=q)
+    img, depth, aux = render_surfels(
+        **p, camera=cam, config=CFG, return_aux=True, return_depth=True,
+    )
+    alpha = 1.0 - np.asarray(aux.raster.final_transmittance)
+    d = np.asarray(depth)
+    cy, cx = cam.H // 2, cam.W // 2
+    # Expected depth along the center row follows z = 2 + tan(tilt) * x_world,
+    # with x_world = (px + .5 - cx)/fx * z (solve: z = 2 / (1 - tan*xn)).
+    for dpx in (-8, 0, 8):
+        xn = (cx + dpx + 0.5 - 32.0) / 100.0
+        expected = 2.0 / (1.0 - math.tan(tilt) * xn)
+        got = d[cy, cx + dpx] / alpha[cy, cx + dpx]
+        np.testing.assert_allclose(got, expected, rtol=1e-3)
+
+
+def test_depth_distortion_map():
+    # Two stacked translucent face-on disks at z=2 and z=3: covered pixels
+    # have depth spread ~ 2 w2 w3 (z3-z2)^2; a single disk has ~zero.
+    cam = make_camera()
+    two = dict(
+        means3d=jnp.array([[0.0, 0.0, 2.0], [0.0, 0.0, 3.0]]),
+        scales=jnp.full((2, 2), math.log(0.3)),
+        quats=jnp.array([[1.0, 0.0, 0.0, 0.0]] * 2),
+        opacities=jnp.array([0.5, 0.9]),
+        features=jnp.array([[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]]),
+    )
+    img, dist, aux = render_surfels(
+        **two, camera=cam, config=CFG, return_aux=True,
+        return_distortion=True,
+    )
+    cy, cx = cam.H // 2, cam.W // 2
+    # center weights: w1 = 0.5, w2 = (1-0.5)*0.9 = 0.45
+    expected = 2.0 * 0.5 * 0.45 * (3.0 - 2.0) ** 2
+    np.testing.assert_allclose(float(dist[cy, cx]), expected, rtol=2e-2)
+    one = {k: v[:1] for k, v in two.items()}
+    _img, dist1 = render_surfels(
+        **one, camera=cam, config=CFG, return_distortion=True,
+    )
+    assert abs(float(dist1[cy, cx])) < 1e-4

@@ -55,6 +55,8 @@ def main():
     ap.add_argument("--steps", type=int, default=200)
     ap.add_argument("--lr", type=float, default=5e-3)
     ap.add_argument("--normal-weight", type=float, default=0.01)
+    ap.add_argument("--distortion-weight", type=float, default=0.001,
+                    help="2DGS depth-distortion regularizer weight")
     ap.add_argument("--steps-per-call", type=int, default=25)
     ap.add_argument("--out-dir", default="output/train_surfel_demo")
     args = ap.parse_args()
@@ -104,16 +106,18 @@ def main():
             p = mtrain.activate(params)
 
             def one(cam, tgt):
-                img, depth, normal, aux = render_surfels(
+                img, depth, normal, dist, aux = render_surfels(
                     p["means3d"], p["scales"], p["quats"], p["opacities"],
                     p["features"], cam, config=config, return_aux=True,
                     return_depth=True, return_normals=True,
+                    return_distortion=True,
                 )
                 photo = jnp.mean((img - tgt) ** 2)
                 reg = normal_consistency_loss(
                     depth, normal, aux.raster.final_transmittance, cam
                 )
-                return photo + args.normal_weight * reg
+                return (photo + args.normal_weight * reg
+                        + args.distortion_weight * jnp.mean(dist))
 
             return jnp.mean(jax.vmap(one)(cs, tgts))
 

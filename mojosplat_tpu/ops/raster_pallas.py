@@ -567,7 +567,9 @@ def _gather_rows_bwd(interpret, route_bf16, nfields, res, g):
         d9 = segment_sum_cols(
             ops[1:], ops[0], N, interpret=interpret, exact=True
         )
-    d_packed = jnp.pad(d9, ((0, 0), (0, _PROWS - F)))
+    # Pad back to the packed row count (g carries it; 10 for the 3DGS
+    # kernels, 16 for the surfel kernels which reuse this gather).
+    d_packed = jnp.pad(d9, ((0, 0), (0, g.shape[0] - F)))
     d_safe = np.zeros(safe.shape, dtype=jax.dtypes.float0)
     return d_packed, d_safe
 

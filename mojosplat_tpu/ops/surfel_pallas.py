@@ -1,0 +1,433 @@
+"""Pallas TPU rasterization kernels for the 2DGS surfel family.
+
+Same tiled-blend scaffolding as the 3DGS kernels (ops/raster_pallas.py —
+grid step per tile group, pixels on sublanes x surfels on lanes, VMEM chunk
+slices, carried transmittance with chunk-level early exit, sign-packed
+per-chunk transmittance residuals for a re-walk-free backward, MXU color
+matmul, sort + banded-MXU gradient routing), with the per-chunk geometry
+replaced by the exact ray/disk intersection response of surfel.py.
+
+Field packing (16 rows, field-major like the 3DGS kernels' 10):
+
+    0-2   qc0', qc1', qc2      with qc0' = fx qc0 + cx qc2 (y analogously)
+    3-5   a0',  a1',  a2       a0' = fx a0 + cx a2, a1' = fy a1 + cy a2
+    6-8   b0',  b1',  b2
+    9-10  c2x,  c2y            projected center (pixels)
+    11    opacity
+    12-14 rgb
+    15    zero pad
+
+The primes fold the intrinsics into the per-surfel rows (row-scaling the
+2x2 system by fx/fy leaves its solution invariant), so the kernel needs
+only raw pixel coordinates — no camera scalars cross the kernel boundary,
+and the prime computation stays in XLA where autodiff maps the gradients
+back to raw parameters.
+
+Per chunk, with pixel (px, py):
+
+    A11 = a0' - px a2   A12 = b0' - px b2   r1 = px qc2 - qc0'
+    A21 = a1' - py a2   A22 = b1' - py b2   r2 = py qc2 - qc1'
+    (u, v) = A^-1 r ;  g_surf = exp(-(u^2+v^2)/2) [masked on |det| ~ 0]
+    g_filt = exp(-((px-c2x)^2 + (py-c2y)^2) / (2 * 0.5))
+    alpha  = min(op * max(g_surf, g_filt), max_alpha), kept >= 1/255
+
+The backward hand-derives the 2x2-solve adjoint (d_r = A^-T d_q,
+d_A = -d_r q^T) and reduces per-surfel gradients over pixels, exactly
+mirroring surfel.py's XLA math (the oracle for these kernels).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .raster_pallas import (
+    _CCOLS,
+    _OCOLS,
+    _chunk_rows,
+    _gather_rows,
+    _lane_cumprod,
+    _lane_excl,
+    _lane_rev_cumsum_excl,
+    _pad_tiles,
+    _tile_pixel_centers,
+)
+
+_SROWS = 16
+_FILTER_SIGMA2 = 0.5  # keep in sync with surfel._FILTER_SIGMA2
+_DET_EPS = 1e-9
+_S2_MAX = 1e4
+
+
+def _surfel_chunk_geometry(g, k, K, px, py, count, config):
+    """Per-chunk surfel response: (P, K) alpha + backward ingredients."""
+    qc0, qc1, qc2 = g[0:1, :], g[1:2, :], g[2:3, :]
+    a0, a1, a2 = g[3:4, :], g[4:5, :], g[5:6, :]
+    b0, b1, b2 = g[6:7, :], g[7:8, :], g[8:9, :]
+    c2x, c2y = g[9:10, :], g[10:11, :]
+    op = g[11:12, :]
+
+    A11 = a0 - px * a2  # (P, K)
+    A12 = b0 - px * b2
+    A21 = a1 - py * a2
+    A22 = b1 - py * b2
+    r1 = px * qc2 - qc0
+    r2 = py * qc2 - qc1
+
+    det = A11 * A22 - A12 * A21
+    ok = jnp.abs(det) > _DET_EPS
+    det_safe = jnp.where(ok, det, 1.0)
+    u = (r1 * A22 - r2 * A12) / det_safe
+    v = (A11 * r2 - A21 * r1) / det_safe
+    s2 = jnp.minimum(u * u + v * v, _S2_MAX)
+    g_surf = jnp.where(ok, jnp.exp(-0.5 * s2), 0.0)
+
+    dx = px - c2x
+    dy = py - c2y
+    g_filt = jnp.exp(-(dx * dx + dy * dy) / (2.0 * _FILTER_SIGMA2))
+    gm = jnp.maximum(g_surf, g_filt)
+
+    raw = op * gm
+    alpha = jnp.minimum(raw, config.max_alpha)
+    col = jax.lax.broadcasted_iota(jnp.int32, alpha.shape, 1)
+    keep = (alpha >= config.alpha_threshold) & (col + k * K < count)
+    alpha = jnp.where(keep, alpha, 0.0)
+    geo = dict(
+        A11=A11, A12=A12, A21=A21, A22=A22, det_safe=det_safe, ok=ok,
+        u=u, v=v, s2=s2, g_surf=g_surf, g_filt=g_filt, gm=gm, dx=dx, dy=dy,
+        op=op, raw=raw, keep=keep, px=px, py=py,
+    )
+    return alpha, geo
+
+
+def _fwd_kernel(counts_ref, pdata_ref, out_ref, thist_ref,
+                t_s, done_s, acc_s, *, K, P, ts, tw, tps, config):
+    tt = pl.program_id(0)
+    eps = config.transmittance_eps
+    cap = pdata_ref.shape[1] // tps
+    thist_ref[...] = jnp.full_like(thist_ref, -1.0)
+
+    for i in range(tps):
+        t = tt * tps + i
+        count = counts_ref[t]
+        px, py = _tile_pixel_centers(t, ts, tw, P)
+
+        t_s[...] = jnp.ones((P, 1), jnp.float32)
+        done_s[...] = jnp.zeros((P, 1), jnp.float32)
+        acc_s[...] = jnp.zeros((P, _CCOLS), jnp.float32)
+
+        for k in range(cap // K):
+            guard = (k * K < count) & (jnp.min(done_s[...]) == 0.0)
+
+            @pl.when(guard)
+            def _(k=k, i=i, count=count, px=px, py=py):
+                t_in = t_s[...]
+                done = done_s[...]
+                thist_ref[i, :, k : k + 1] = jnp.where(
+                    done == 0.0, t_in, -t_in
+                )
+                g = _chunk_rows(pdata_ref, i * (cap // K) + k, K)
+                alpha, _geo = _surfel_chunk_geometry(
+                    g, k, K, px, py, count, config
+                )
+                col = jax.lax.broadcasted_iota(jnp.int32, alpha.shape, 1)
+                cum = _lane_cumprod(1.0 - alpha, col, K)
+                t_after = t_in * cum
+                alive = done == 0.0
+                applied = (t_after > eps) & alive
+                eff = jnp.where(applied, alpha, 0.0)
+                excl = _lane_excl(cum, col, 1.0)
+                w = eff * t_in * excl
+
+                cols_t = g[12:16, :]  # rgb + zero pad row
+                acc_s[...] = acc_s[...] + jax.lax.dot_general(
+                    w, cols_t, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST,
+                )
+                t_s[...] = jnp.min(
+                    jnp.where(applied, t_after, t_in), axis=1, keepdims=True
+                )
+                done_s[...] = jnp.maximum(
+                    done,
+                    (t_after[:, K - 1 : K] <= eps).astype(jnp.float32),
+                )
+
+        out_ref[i, :, :] = jnp.concatenate(
+            [acc_s[...], t_s[...]], axis=1
+        )
+
+
+def _bwd_kernel(counts_ref, pdata_ref, gout_ref, thist_ref,
+                dpdata_ref, gt_s, *, K, P, ts, tw, tps, config):
+    grad_precision = (
+        jax.lax.Precision.DEFAULT
+        if config.grad_route_bf16
+        else jax.lax.Precision.HIGHEST
+    )
+    tt = pl.program_id(0)
+    eps = config.transmittance_eps
+    cap = pdata_ref.shape[1] // tps
+    nchunks_max = cap // K
+
+    dpdata_ref[...] = jnp.zeros_like(dpdata_ref)
+
+    for i in range(tps):
+        t = tt * tps + i
+        count = counts_ref[t]
+        px, py = _tile_pixel_centers(t, ts, tw, P)
+
+        gout = gout_ref[i, :, :]  # (P, _OCOLS)
+        v_cot = gout[:, :_CCOLS]
+        gt_s[...] = gout[:, _CCOLS : _CCOLS + 1]
+
+        for k in reversed(range(nchunks_max)):
+            th = thist_ref[i, :, k : k + 1]
+
+            @pl.when((k * K < count) & (jnp.max(th) > 0.0))
+            def _(k=k, i=i, th=th, v_cot=v_cot, count=count, px=px, py=py):
+                t_in = jnp.abs(th)
+                gt = gt_s[...]
+                g = _chunk_rows(pdata_ref, i * nchunks_max + k, K)
+                alpha, geo = _surfel_chunk_geometry(
+                    g, k, K, px, py, count, config
+                )
+                col = jax.lax.broadcasted_iota(jnp.int32, alpha.shape, 1)
+                cum = _lane_cumprod(1.0 - alpha, col, K)
+                t_after = t_in * cum
+                applied = (t_after > eps) & (th > 0.0)
+                eff = jnp.where(applied, alpha, 0.0)
+                ome = 1.0 - eff
+                excl = _lane_excl(cum, col, 1.0)
+                t_before = t_in * excl
+                w = eff * t_before
+                cum_last = jnp.min(
+                    jnp.where(applied, cum, 1.0), axis=1, keepdims=True
+                )
+                t_out = t_in * cum_last
+
+                cols_t = g[12:16, :]
+                cv = jax.lax.dot_general(
+                    v_cot, cols_t, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=grad_precision,
+                )  # (P, K)
+                d_cols_t = jax.lax.dot_general(
+                    v_cot, w, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=grad_precision,
+                )  # (4, K)
+
+                q = w * cv
+                S = _lane_rev_cumsum_excl(q, col, K)
+                d_eff = cv * t_before - (S + gt * t_out) / ome
+                d_alpha = jnp.where(applied, d_eff, 0.0)
+                d_raw = jnp.where(
+                    geo["keep"] & (geo["raw"] < config.max_alpha),
+                    d_alpha, 0.0,
+                )
+
+                # ---- surfel response adjoint (mirrors surfel.py math).
+                d_op2 = d_raw * geo["gm"]  # (P, K)
+                d_gm = d_raw * geo["op"]
+                surf_sel = geo["g_surf"] >= geo["g_filt"]
+                d_gsurf = jnp.where(surf_sel, d_gm, 0.0)
+                d_gfilt = jnp.where(surf_sel, 0.0, d_gm)
+
+                # g_filt branch -> projected center.
+                gf = d_gfilt * geo["g_filt"] / _FILTER_SIGMA2
+                d_c2x = gf * geo["dx"]
+                d_c2y = gf * geo["dy"]
+
+                # g_surf branch -> 2x2 solve adjoint.
+                d_s2 = jnp.where(
+                    geo["ok"] & (geo["s2"] < _S2_MAX),
+                    -0.5 * d_gsurf * geo["g_surf"], 0.0,
+                )
+                d_u = d_s2 * 2.0 * geo["u"]
+                d_v = d_s2 * 2.0 * geo["v"]
+                det = geo["det_safe"]
+                d_r1 = (geo["A22"] * d_u - geo["A21"] * d_v) / det
+                d_r2 = (-geo["A12"] * d_u + geo["A11"] * d_v) / det
+                d_A11 = -d_r1 * geo["u"]
+                d_A12 = -d_r1 * geo["v"]
+                d_A21 = -d_r2 * geo["u"]
+                d_A22 = -d_r2 * geo["v"]
+
+                def rsum(x):
+                    return jnp.sum(x, axis=0, keepdims=True)  # (1, K)
+
+                d_g = jnp.concatenate(
+                    [
+                        rsum(-d_r1),  # qc0'
+                        rsum(-d_r2),  # qc1'
+                        rsum(px * d_r1 + py * d_r2),  # qc2
+                        rsum(d_A11),  # a0'
+                        rsum(d_A21),  # a1'
+                        rsum(-px * d_A11 - py * d_A21),  # a2
+                        rsum(d_A12),  # b0'
+                        rsum(d_A22),  # b1'
+                        rsum(-px * d_A12 - py * d_A22),  # b2
+                        rsum(d_c2x),
+                        rsum(d_c2y),
+                        rsum(d_op2),  # opacity
+                        d_cols_t,  # rgb + pad (4, K)
+                    ],
+                    axis=0,
+                )  # (16, K)
+                sl0 = (i * nchunks_max + k) * K
+                dpdata_ref[:, sl0 : sl0 + K] = d_g
+
+                gt_s[...] = (
+                    jnp.sum(eff * excl * cv, axis=1, keepdims=True)
+                    + gt * cum_last
+                )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def raster_surfel_tiles_pallas(pdata, counts, ts, tw, config):
+    """Blend each tile's gathered surfels front-to-back.
+
+    pdata: (16, n_tiles*cap) f32 field-major rows (see module docstring);
+    returns (n_tiles, ts*ts, 5): rgb, zero aux, final transmittance.
+    """
+    return _fwd_call(pdata, counts, ts, tw, config)[0]
+
+
+def _fwd_call(pdata, counts, ts, tw, config):
+    n_tiles = counts.shape[0]
+    cap = pdata.shape[1] // n_tiles
+    P = ts * ts
+    K = config.pallas_chunk
+    tps = config.pallas_tiles_per_step
+    if cap % K != 0:
+        raise ValueError(f"tile_capacity {cap} % pallas_chunk {K} != 0")
+    pdata, counts, n_pad = _pad_tiles(pdata, counts, cap, tps)
+    nc = cap // K
+
+    kernel = functools.partial(
+        _fwd_kernel, K=K, P=P, ts=ts, tw=tw, tps=tps, config=config
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_pad // tps,),
+        in_specs=[
+            pl.BlockSpec((_SROWS, tps * cap), lambda t, c: (0, t)),
+        ],
+        out_specs=[
+            pl.BlockSpec((tps, P, _OCOLS), lambda t, c: (t, 0, 0)),
+            pl.BlockSpec((tps, P, nc), lambda t, c: (t, 0, 0)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((P, 1), jnp.float32),
+            pltpu.VMEM((P, 1), jnp.float32),
+            pltpu.VMEM((P, _CCOLS), jnp.float32),
+        ],
+    )
+    out, thist = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((n_pad, P, _OCOLS), jnp.float32),
+            jax.ShapeDtypeStruct((n_pad, P, nc), jnp.float32),
+        ],
+        interpret=config.pallas_interpret,
+    )(counts, pdata)
+    return out[:n_tiles], thist
+
+
+def _fwd_rule(pdata, counts, ts, tw, config):
+    out, thist = _fwd_call(pdata, counts, ts, tw, config)
+    return out, (pdata, counts, thist)
+
+
+def _bwd_rule(ts, tw, config, residuals, gout):
+    pdata, counts, thist = residuals
+    n_tiles = counts.shape[0]
+    cap = pdata.shape[1] // n_tiles
+    P = ts * ts
+    K = config.pallas_chunk
+    tps = config.pallas_tiles_per_step
+    pdata, counts, n_pad = _pad_tiles(pdata, counts, cap, tps)
+    nc = cap // K
+    if n_pad != n_tiles:
+        gout = jnp.pad(gout, ((0, n_pad - n_tiles), (0, 0), (0, 0)))
+
+    kernel = functools.partial(
+        _bwd_kernel, K=K, P=P, ts=ts, tw=tw, tps=tps, config=config
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_pad // tps,),
+        in_specs=[
+            pl.BlockSpec((_SROWS, tps * cap), lambda t, c: (0, t)),
+            pl.BlockSpec((tps, P, _OCOLS), lambda t, c: (t, 0, 0)),
+            pl.BlockSpec((tps, P, nc), lambda t, c: (t, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((_SROWS, tps * cap), lambda t, c: (0, t)),
+        scratch_shapes=[
+            pltpu.VMEM((P, 1), jnp.float32),
+        ],
+    )
+    d_pdata = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((_SROWS, n_pad * cap), jnp.float32),
+        interpret=config.pallas_interpret,
+    )(counts, pdata, gout, thist)
+    d_pdata = d_pdata[:, : n_tiles * cap]
+    d_counts = np.zeros(counts.shape, dtype=jax.dtypes.float0)
+    return d_pdata, d_counts
+
+
+raster_surfel_tiles_pallas.defvjp(_fwd_rule, _bwd_rule)
+
+
+def gather_surfel_tile_data(primed, colors, slot_gids, interpret=False,
+                            route_bf16=False):
+    """Pack per-surfel rows into (N, 16), gather by slot ids, transpose.
+
+    ``primed``: (N, 12) rows [qc'(3), a'(3), b'(3), c2(2), op] with the
+    intrinsics already folded in (see primed_surfel_data). Same one-wide-
+    row-gather + sort-based adjoint as the 3DGS path (_gather_rows).
+    """
+    N = primed.shape[0]
+    packed = jnp.concatenate(
+        [
+            primed.astype(jnp.float32),
+            colors.astype(jnp.float32),
+            jnp.zeros((N, _SROWS - 12 - colors.shape[-1]), jnp.float32),
+        ],
+        axis=-1,
+    )  # (N, 16)
+    safe = jnp.clip(slot_gids.reshape(-1), 0, N - 1)
+    return _gather_rows(
+        packed, safe, interpret, route_bf16, 12 + colors.shape[-1]
+    )  # (16, n_tiles*cap)
+
+
+def primed_surfel_data(data, camera):
+    """Fold the intrinsics into the (N, 12) surfel rows (see module doc).
+
+    ``data`` is surfel.surfel_alpha_data's output: [qc(3), a(3), b(3),
+    c2(2), op]. Row-scaling the ray/disk system by fx (x-eq) and fy (y-eq)
+    leaves (u, v) invariant and removes all camera scalars from the kernel.
+    """
+    qc, a, b, rest = data[:, 0:3], data[:, 3:6], data[:, 6:9], data[:, 9:12]
+
+    def prime(x):
+        return jnp.stack(
+            [
+                camera.fx * x[:, 0] + camera.cx * x[:, 2],
+                camera.fy * x[:, 1] + camera.cy * x[:, 2],
+                x[:, 2],
+            ],
+            axis=-1,
+        )
+
+    return jnp.concatenate([prime(qc), prime(a), prime(b), rest], axis=-1)

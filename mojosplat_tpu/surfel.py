@@ -148,11 +148,15 @@ def render_surfels(
         regularizer of the paper's eq. 4 in moment form; take its mean over
         covered pixels as the loss.
     """
-    if config.raster_impl != "xla":
+    if config.raster_impl == "pallas" and (
+        return_depth or return_normals or return_distortion
+    ):
         raise NotImplementedError(
-            "surfels currently render on the XLA path; use "
-            "RenderConfig(raster_impl='xla')"
+            "the surfel Pallas kernels render RGB+alpha; use "
+            "RenderConfig(raster_impl='xla') for depth/normal/distortion maps"
         )
+    if config.raster_impl not in ("xla", "pallas"):
+        raise ValueError(f"Unknown raster_impl: {config.raster_impl!r}")
     N = means3d.shape[0]
     if sh_degree is None:
         colors = features
@@ -194,6 +198,65 @@ def render_surfels(
 
     data = surfel_alpha_data(means3d, scales, quats, opacities, camera)
     want_vals = return_depth or return_distortion
+
+    if config.raster_impl == "pallas":
+        # Production TPU path: the surfel Pallas kernels
+        # (ops/surfel_pallas.py), fed the same way as the 3DGS pallas
+        # branch in ops/rasterization.py.
+        from .ops.binning import num_tiles
+        from .ops.slice_pallas import segment_slice_gather
+        from .ops.surfel_pallas import (
+            gather_surfel_tile_data,
+            primed_surfel_data,
+            raster_surfel_tiles_pallas,
+        )
+
+        ts = config.tile_size
+        th, tw = num_tiles(camera.H, camera.W, ts)
+        n_tiles = th * tw
+        cap = config.tile_capacity
+        ranges_flat = binning.tile_ranges.reshape(n_tiles, 2)
+        starts = ranges_flat[:, 0]
+        counts = jnp.clip(
+            ranges_flat[:, 1] - ranges_flat[:, 0], 0, cap
+        ).astype(jnp.int32)
+        slot_gids = segment_slice_gather(
+            jax.lax.stop_gradient(binning.gaussian_ids), starts, cap,
+            interpret=config.pallas_interpret,
+        )
+        pdata = gather_surfel_tile_data(
+            primed_surfel_data(data, camera), colors, slot_gids,
+            interpret=config.pallas_interpret,
+            route_bf16=config.grad_route_bf16,
+        )
+        out = raster_surfel_tiles_pallas(pdata, counts, ts, tw, config)
+        T_tiles = out[:, :, 4]
+        out_tiles = (
+            out[:, :, :3] + T_tiles[:, :, None] * background[None, None, :]
+        ).astype(colors.dtype)
+
+        def assemble(x, channels_):
+            im = x.reshape(th, tw, ts, ts, channels_)
+            im = im.transpose(0, 2, 1, 3, 4)
+            return im.reshape(th * ts, tw * ts, channels_)[
+                : camera.H, : camera.W
+            ]
+
+        image = assemble(out_tiles, 3)
+        if not return_aux:
+            return image
+        final_T = assemble(T_tiles[..., None], 1)[..., 0]
+        tile_overflow = jnp.sum(
+            jnp.maximum(ranges_flat[:, 1] - ranges_flat[:, 0] - cap, 0)
+        ).astype(jnp.int32)
+        from .ops.rasterization import RasterAux
+
+        return image, RenderAux(
+            binning=binning.aux,
+            raster=RasterAux(
+                final_transmittance=final_T, tile_overflow=tile_overflow
+            ),
+        )
 
     channels = [colors]
     if return_normals:

@@ -150,12 +150,76 @@ def test_surfel_alpha_data_shapes():
     np.testing.assert_allclose(np.asarray(d[0, 0:3]), [0.0, 0.0, 2.0])
 
 
-def test_surfel_pallas_not_implemented():
+def test_surfel_pallas_maps_not_implemented():
+    # The Pallas surfel kernels render RGB+alpha; per-pixel maps need xla.
     cam = make_camera()
     with pytest.raises(NotImplementedError):
         render_surfels(
-            **one_surfel(), camera=cam,
-            config=RenderConfig(raster_impl="pallas"),
+            **one_surfel(), camera=cam, return_depth=True,
+            config=RenderConfig(raster_impl="pallas",
+                                pallas_interpret=True),
+        )
+
+
+def _random_surfel_scene(n=150, seed=5):
+    rng = np.random.default_rng(seed)
+    return dict(
+        means3d=jnp.asarray(np.concatenate(
+            [rng.normal(0, 0.4, (n, 2)), rng.uniform(1.5, 4.0, (n, 1))],
+            axis=1).astype(np.float32)),
+        scales=jnp.asarray(rng.normal(-1.8, 0.3, (n, 2)).astype(np.float32)),
+        quats=jnp.asarray(rng.normal(0, 1, (n, 4)).astype(np.float32)),
+        opacities=jnp.asarray(rng.uniform(0.3, 0.9, n).astype(np.float32)),
+        features=jnp.asarray(rng.uniform(0, 1, (n, 3)).astype(np.float32)),
+    )
+
+
+def test_surfel_pallas_forward_parity():
+    # The Pallas surfel kernels (interpret mode) against the XLA oracle.
+    cam = make_camera()
+    p = _random_surfel_scene()
+    common = dict(camera=cam, background_color=jnp.array([0.2, 0.1, 0.3]))
+    img_x = render_surfels(
+        **p, **common, config=RenderConfig(tile_capacity=128, chunk_size=32)
+    )
+    img_p = render_surfels(
+        **p, **common,
+        config=RenderConfig(tile_capacity=128, chunk_size=32,
+                            raster_impl="pallas", pallas_interpret=True,
+                            pallas_chunk=32, pallas_tiles_per_step=2),
+    )
+    np.testing.assert_allclose(
+        np.asarray(img_p), np.asarray(img_x), atol=2e-5
+    )
+
+
+def test_surfel_pallas_gradient_parity():
+    cam = make_camera()
+    p = _random_surfel_scene(n=80, seed=6)
+
+    def loss_for(impl):
+        cfg = RenderConfig(
+            tile_capacity=128, chunk_size=32, raster_impl=impl,
+            pallas_interpret=(impl == "pallas"), pallas_chunk=32,
+            pallas_tiles_per_step=2,
+        )
+
+        def loss(q):
+            img = render_surfels(
+                q["means3d"], q["scales"], q["quats"], q["opacities"],
+                q["features"], cam, config=cfg,
+                background_color=jnp.array([0.1, 0.1, 0.1]),
+            )
+            return jnp.mean(img**2)
+
+        return jax.grad(loss)(p)
+
+    gx = loss_for("xla")
+    gp = loss_for("pallas")
+    for k in gx:
+        np.testing.assert_allclose(
+            np.asarray(gp[k]), np.asarray(gx[k]), rtol=1e-3, atol=1e-6,
+            err_msg=k,
         )
 
 

@@ -28,9 +28,9 @@ Reuse of the 3DGS machinery:
     alpha_fn — the same chunked front-to-back recurrence, early exit and
     aux outputs as the 3DGS path.
 
-This family currently runs on the XLA rasterization path only
-(config.raster_impl="xla"); the per-pixel 2x2 solve maps cleanly onto the
-Pallas kernels' chunk geometry and is planned as a kernel variant.
+Rendering runs on both paths: the XLA blender (the oracle; also provides
+the per-pixel depth / normal / distortion maps) and dedicated Pallas TPU
+kernels (ops/surfel_pallas.py, RGB+alpha fwd+bwd) for production speed.
 """
 
 from __future__ import annotations

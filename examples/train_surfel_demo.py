@@ -59,11 +59,20 @@ def main():
                     help="2DGS depth-distortion regularizer weight")
     ap.add_argument("--steps-per-call", type=int, default=25)
     ap.add_argument("--out-dir", default="output/train_surfel_demo")
+    ap.add_argument(
+        "--impl", default="xla", choices=["xla", "pallas"],
+        help="pallas = the surfel TPU kernels (photometric loss only: the "
+        "depth/normal regularizers need the xla path's per-pixel maps)",
+    )
     args = ap.parse_args()
     os.makedirs(args.out_dir, exist_ok=True)
 
     H, W = args.height, args.width
-    config = RenderConfig(tile_capacity=256, chunk_size=32)
+    config = RenderConfig(
+        tile_capacity=256, chunk_size=32, raster_impl=args.impl,
+        pallas_interpret=(jax.default_backend() == "cpu"),
+    )
+    use_maps = args.impl == "xla"
 
     def make_cam(i):
         angle = 2.0 * 3.14159 * i / args.views
@@ -106,6 +115,12 @@ def main():
             p = mtrain.activate(params)
 
             def one(cam, tgt):
+                if not use_maps:
+                    img = render_surfels(
+                        p["means3d"], p["scales"], p["quats"],
+                        p["opacities"], p["features"], cam, config=config,
+                    )
+                    return jnp.mean((img - tgt) ** 2)
                 img, depth, normal, dist, aux = render_surfels(
                     p["means3d"], p["scales"], p["quats"], p["opacities"],
                     p["features"], cam, config=config, return_aux=True,

@@ -70,13 +70,25 @@ def render_slabs(
     sh_degree: int | None,
     background_color,
     config: RenderConfig,
+    primitive: str = "3dgs",
 ) -> jax.Array:
     """Per-device body: render this device's tile-row slab of each local
-    camera. Must run inside shard_map with a 'tile' axis."""
+    camera. Must run inside shard_map with a 'tile' axis.
+
+    ``primitive``: "3dgs" (render_gaussians) or "2dgs" (render_surfels) —
+    both families share the slab/viewport_rows contract."""
     row0 = jax.lax.axis_index("tile") * slab_h
+    if primitive == "3dgs":
+        render = render_gaussians
+    elif primitive == "2dgs":
+        from ..surfel import render_surfels
+
+        render = render_surfels
+    else:
+        raise ValueError(f"Unknown primitive: {primitive!r}")
 
     def render_one(cam: Camera) -> jax.Array:
-        return render_gaussians(
+        return render(
             params["means3d"],
             params["scales"],
             params["quats"],
@@ -99,6 +111,7 @@ def render_batch_sharded(
     sh_degree: int | None = None,
     background_color=None,
     config: RenderConfig = DEFAULT_CONFIG,
+    primitive: str = "3dgs",
 ) -> jax.Array:
     """Render B cameras over the mesh; returns the (B, H, W, C) images,
     sharded (B over 'data', rows over 'tile')."""
@@ -106,7 +119,7 @@ def render_batch_sharded(
 
     fn = shard_map(
         lambda p, c: render_slabs(
-            p, c, slab_h, sh_degree, background_color, config
+            p, c, slab_h, sh_degree, background_color, config, primitive
         ),
         mesh=mesh,
         in_specs=(P(), P("data")),

@@ -133,8 +133,15 @@ def render_surfels(
     return_depth: bool = False,
     return_normals: bool = False,
     return_distortion: bool = False,
+    viewport_rows=None,
 ):
     """Render 2D gaussian surfels to an (H, W, 3) image.
+
+    ``viewport_rows=(row0, height)`` renders only image rows
+    [row0, row0+height) — the same tile-row slab primitive as
+    render_gaussians, so surfel scenes shard over the ('data','tile') mesh
+    too. The alpha math keeps using ABSOLUTE pixel coordinates (only
+    binning/rasterization shift into slab space).
 
     Same surface as render_gaussians; extra outputs (appended in this order,
     aux last):
@@ -192,8 +199,23 @@ def render_surfels(
         proj.radii,
     )
     proj = proj._replace(radii=radii)
+    if viewport_rows is None:
+        row0, out_h = 0, camera.H
+        means2d_slab = proj.means2d
+    else:
+        row0, out_h = viewport_rows
+        if out_h % config.tile_size != 0:
+            raise ValueError(
+                f"viewport height {out_h} must be a multiple of tile_size "
+                f"{config.tile_size}"
+            )
+        shift = jnp.stack(
+            [jnp.zeros((), proj.means2d.dtype),
+             jnp.asarray(row0, proj.means2d.dtype)]
+        )
+        means2d_slab = proj.means2d - shift[None, :]
     binning = bin_gaussians_to_tiles(
-        proj.means2d, proj.radii, proj.depths, camera.H, camera.W, config
+        means2d_slab, proj.radii, proj.depths, out_h, camera.W, config
     )
 
     data = surfel_alpha_data(means3d, scales, quats, opacities, camera)
@@ -212,7 +234,7 @@ def render_surfels(
         )
 
         ts = config.tile_size
-        th, tw = num_tiles(camera.H, camera.W, ts)
+        th, tw = num_tiles(out_h, camera.W, ts)
         n_tiles = th * tw
         cap = config.tile_capacity
         ranges_flat = binning.tile_ranges.reshape(n_tiles, 2)
@@ -224,8 +246,32 @@ def render_surfels(
             jax.lax.stop_gradient(binning.gaussian_ids), starts, cap,
             interpret=config.pallas_interpret,
         )
+        primed = primed_surfel_data(data, camera)
+        if viewport_rows is not None:
+            # The kernels see slab-relative py; absorb the shift into the
+            # y-primed rows (py_abs = py_slab + row0; A21 = a1' - py_abs a2
+            # becomes (a1' - row0 a2) - py_slab a2, etc.) and the filter
+            # center.
+            r0 = jnp.asarray(row0, primed.dtype)
+            primed = jnp.concatenate(
+                [
+                    primed[:, 0:1],
+                    primed[:, 1:2] - r0 * primed[:, 2:3],  # qc1'
+                    primed[:, 2:3],
+                    primed[:, 3:4],
+                    primed[:, 4:5] - r0 * primed[:, 5:6],  # a1'
+                    primed[:, 5:6],
+                    primed[:, 6:7],
+                    primed[:, 7:8] - r0 * primed[:, 8:9],  # b1'
+                    primed[:, 8:9],
+                    primed[:, 9:10],
+                    primed[:, 10:11] - r0,  # c2y
+                    primed[:, 11:12],
+                ],
+                axis=-1,
+            )
         pdata = gather_surfel_tile_data(
-            primed_surfel_data(data, camera), colors, slot_gids,
+            primed, colors, slot_gids,
             interpret=config.pallas_interpret,
             route_bf16=config.grad_route_bf16,
         )
@@ -239,7 +285,7 @@ def render_surfels(
             im = x.reshape(th, tw, ts, ts, channels_)
             im = im.transpose(0, 2, 1, 3, 4)
             return im.reshape(th * ts, tw * ts, channels_)[
-                : camera.H, : camera.W
+                : out_h, : camera.W
             ]
 
         image = assemble(out_tiles, 3)
@@ -274,14 +320,16 @@ def render_surfels(
     )
 
     def alpha_fn(px_t, py_t, safe, valid):
+        # py arrives in slab coordinates; the surfel response is defined in
+        # absolute pixel coordinates.
         return _surfel_alphas(
-            px_t, py_t, data[safe], valid, camera, config,
-            with_depth=want_vals,
+            px_t, py_t + jnp.asarray(row0, py_t.dtype), data[safe], valid,
+            camera, config, with_depth=want_vals,
         )
 
     img, raster_aux = rasterize_xla_generic(
         alpha_fn, N, colors_ext, background_ext, binning,
-        camera.H, camera.W, config,
+        out_h, camera.W, config,
         n_pixel_values=2 if want_vals else 0,
     )
     # Channel layout: [rgb(3), normals(3 if requested), m1, m2] where

@@ -199,3 +199,36 @@ def test_sharded_train_step_with_mcmc_regularizer():
         np.asarray(new_state.params["scales"]),
         np.asarray(base_state.params["scales"]),
     )
+
+
+def test_render_batch_sharded_surfels():
+    # The 2DGS family over the same ('data','tile') mesh: sharded slabs
+    # must reassemble to the single-device surfel render.
+    from mojosplat_tpu.surfel import render_surfels
+
+    B = 2
+    cams = batched_cameras(B, H=128)
+    rng = np.random.default_rng(12)
+    n = 64
+    params = dict(
+        means3d=jnp.asarray(np.concatenate(
+            [rng.normal(0, 0.3, (n, 2)), rng.uniform(1.0, 3.0, (n, 1))],
+            axis=1).astype(np.float32)),
+        scales=jnp.asarray(rng.normal(-1.8, 0.2, (n, 2)).astype(np.float32)),
+        quats=jnp.asarray(rng.normal(0, 1, (n, 4)).astype(np.float32)),
+        opacities=jnp.asarray(rng.uniform(0.3, 0.9, n).astype(np.float32)),
+        features=jnp.asarray(rng.uniform(0, 1, (n, 3)).astype(np.float32)),
+    )
+    mesh = make_mesh(2, 4)
+    imgs = render_batch_sharded(
+        params, cams, mesh, config=CFG, primitive="2dgs"
+    )
+    for i in range(B):
+        ref = render_surfels(
+            params["means3d"], params["scales"], params["quats"],
+            params["opacities"], params["features"], single_camera(cams, i),
+            config=CFG,
+        )
+        np.testing.assert_allclose(
+            np.asarray(imgs[i]), np.asarray(ref), atol=2e-5
+        )

@@ -379,3 +379,32 @@ def test_depth_distortion_map():
         **one, camera=cam, config=CFG, return_distortion=True,
     )
     assert abs(float(dist1[cy, cx])) < 1e-4
+
+
+def test_surfel_pallas_viewport_rows_parity():
+    # The slab shift is absorbed into the primed y-rows on the Pallas path;
+    # both impls must agree on a mid-image slab.
+    cam = make_camera()
+    p = _random_surfel_scene(n=120, seed=8)
+    kw = dict(camera=cam, viewport_rows=(32, 32),
+              background_color=jnp.array([0.15, 0.05, 0.2]))
+    img_x = render_surfels(
+        **p, **kw, config=RenderConfig(tile_capacity=128, chunk_size=32)
+    )
+    img_p = render_surfels(
+        **p, **kw,
+        config=RenderConfig(tile_capacity=128, chunk_size=32,
+                            raster_impl="pallas", pallas_interpret=True,
+                            pallas_chunk=32, pallas_tiles_per_step=2),
+    )
+    assert img_x.shape == (32, 64, 3)
+    np.testing.assert_allclose(np.asarray(img_p), np.asarray(img_x),
+                               atol=2e-5)
+    # And the slab equals the matching rows of the full-frame render.
+    full = render_surfels(
+        **p, camera=cam, background_color=jnp.array([0.15, 0.05, 0.2]),
+        config=RenderConfig(tile_capacity=128, chunk_size=32),
+    )
+    np.testing.assert_allclose(
+        np.asarray(img_x), np.asarray(full[32:64]), atol=2e-5
+    )

@@ -33,7 +33,7 @@ from mojosplat_tpu import Camera, RenderConfig, render_gaussians
 from mojosplat_tpu import train as mtrain
 
 
-def build_loop(n, H, W, sh_degree, config, mode, iters):
+def build_loop(n, H, W, sh_degree, config, mode, iters, family="3dgs"):
     camera = Camera.create(
         R=jnp.eye(3), T=jnp.zeros(3), H=H, W=W,
         fx=0.5 * W, fy=0.5 * W, cx=W / 2, cy=H / 2,
@@ -43,9 +43,16 @@ def build_loop(n, H, W, sh_degree, config, mode, iters):
             jax.random.PRNGKey(0), n, sh_degree=sh_degree, position_scale=2.0
         )
     )
+    if family == "2dgs":
+        from mojosplat_tpu.surfel import render_surfels
+
+        params["scales"] = params["scales"][:, :2]  # disks
+        render = render_surfels
+    else:
+        render = render_gaussians
 
     def forward(p, cam):
-        return render_gaussians(
+        return render(
             p["means3d"], p["scales"], p["quats"], p["opacities"],
             p["features"], cam, sh_degree=sh_degree,
             background_color=jnp.array([0.1, 0.1, 0.1]), config=config,
@@ -117,6 +124,11 @@ def main():
     ap.add_argument("--chunk", type=int, default=128,
                     help="pallas gaussians per chunk")
     ap.add_argument(
+        "--family", default="3dgs", choices=["3dgs", "2dgs"],
+        help="primitive family (2dgs = the surfel Pallas kernels; metric "
+        "name gets a _2dgs suffix)",
+    )
+    ap.add_argument(
         "--bf16-grads", action=__import__("argparse").BooleanOptionalAction,
         default=True,
         help="route per-slot gradients in bf16 (bit-identical on TPU under "
@@ -140,7 +152,7 @@ def main():
     sh = args.sh_degree if args.sh_degree >= 0 else None
     fn, fn1, params, camera = build_loop(
         args.gaussians, args.height, args.width, sh, config, args.mode,
-        args.iters,
+        args.iters, family=args.family,
     )
 
     float(fn1(params, camera))  # compile
@@ -157,6 +169,7 @@ def main():
     metric = (
         f"pixels_per_s_{args.mode}_{args.gaussians // 1000}k_"
         f"{args.height}p_sh{args.sh_degree}"
+        + ("_2dgs" if args.family == "2dgs" else "")
     )
     prev = previous_round_value(metric)
     vs_baseline = pixels_per_s / prev if prev else 1.0

@@ -30,6 +30,10 @@ def test_stage_timer():
 
 
 def test_compilation_count():
+    # Fresh cache: in a long full-suite run the global jit cache can evict
+    # entries between compilations (observed: cache_size 0 right after a
+    # call), which is environment noise, not a recompile-counter bug.
+    jax.clear_caches()
     f = jax.jit(lambda x: x + 1)
     f(jnp.ones(4))
     assert compilation_count(f) == 1

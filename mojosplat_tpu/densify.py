@@ -388,3 +388,19 @@ def mcmc_regularization(
     return config.opacity_reg * jnp.mean(
         jax.nn.sigmoid(params["opacities_raw"])
     ) + config.scale_reg * jnp.mean(jnp.abs(jnp.exp(params["scales"])))
+
+
+def reset_opacities(
+    params: dict[str, Any], max_opacity: float = 0.01
+) -> dict[str, Any]:
+    """INRIA training's periodic opacity reset (every ~3k steps): clamp all
+    live opacities to at most ``max_opacity`` so the ADC prune step can
+    reclaim splats that only survive on stale accumulated opacity. Dead
+    slots (DEAD_LOGIT) are left dead."""
+    logit = float(jnp.log(max_opacity / (1.0 - max_opacity)))
+    raw = params["opacities_raw"]
+    out = dict(params)
+    out["opacities_raw"] = jnp.where(
+        raw > DEAD_LOGIT + 1.0, jnp.minimum(raw, logit), raw
+    )
+    return out

@@ -113,3 +113,15 @@ def sh_to_color(
     offset, clamped at 0 (3DGS rendering convention)."""
     dirs = means3d - cam_position[None, :]
     return jnp.maximum(eval_sh(sh_coeffs, dirs, degree) + 0.5, 0.0)
+
+
+def mask_sh_bands(features: jax.Array, active_degree: int) -> jax.Array:
+    """Zero SH bands above ``active_degree`` (progressive SH warmup: the
+    standard 3DGS recipe raises the active degree every 1000 steps so color
+    converges before view dependence). Keeps shapes static — the renderer
+    always evaluates the full basis; masked bands contribute zero and
+    receive zero gradients through the multiply."""
+    K = features.shape[-2]
+    keep = num_sh_bases(active_degree)
+    idx = jnp.arange(K)
+    return jnp.where((idx < keep)[:, None], features, 0.0)

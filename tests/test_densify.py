@@ -267,3 +267,21 @@ def test_mcmc_relocate_strict_noop_when_all_dead():
     assert int(metrics["relocated"]) == 0
     for k in p:
         np.testing.assert_array_equal(np.asarray(new_p[k]), np.asarray(p[k]))
+
+
+def test_reset_opacities():
+    from mojosplat_tpu.densify import DEAD_LOGIT, reset_opacities
+
+    p = small_params(n=8)
+    p["opacities_raw"] = jnp.array(
+        [3.0, -1.0, 0.5, DEAD_LOGIT, 2.0, -6.0, 1.0, DEAD_LOGIT]
+    )
+    out = reset_opacities(p, max_opacity=0.01)
+    op = np.asarray(jax.nn.sigmoid(out["opacities_raw"]))
+    alive = np.asarray(p["opacities_raw"]) > DEAD_LOGIT + 1.0
+    assert np.all(op[alive] <= 0.0101)
+    # Already-low opacities and dead slots are untouched.
+    np.testing.assert_allclose(
+        np.asarray(out["opacities_raw"])[[3, 5, 7]],
+        np.asarray(p["opacities_raw"])[[3, 5, 7]],
+    )

@@ -95,3 +95,18 @@ def test_differentiable_wrt_coeffs_and_means():
     assert np.all(np.isfinite(np.asarray(g_m)))
     assert np.abs(np.asarray(g_sh)).max() > 0
     assert np.abs(np.asarray(g_m)).max() > 0
+
+
+def test_mask_sh_bands_progressive_warmup():
+    from mojosplat_tpu.ops.sh import mask_sh_bands, num_sh_bases
+
+    feats = jnp.ones((5, 16, 3))
+    for deg in range(4):
+        m = mask_sh_bands(feats, deg)
+        keep = num_sh_bases(deg)
+        assert float(jnp.sum(m[:, :keep])) == 5 * keep * 3
+        assert float(jnp.sum(m[:, keep:])) == 0.0
+    # Gradients to masked bands are zero; to active bands nonzero.
+    g = jax.grad(lambda f: jnp.sum(mask_sh_bands(f, 1) ** 2))(feats)
+    assert float(jnp.sum(jnp.abs(g[:, 4:]))) == 0.0
+    assert float(jnp.sum(jnp.abs(g[:, :4]))) > 0.0

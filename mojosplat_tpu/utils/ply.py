@@ -114,9 +114,12 @@ def load_gaussian_ply(path: str) -> dict:
         rest = grab("f_rest_", n_rest)  # channel-major (N, 3*(K-1))
         features[:, 1:, :] = rest.reshape(n, 3, k_rest).transpose(0, 2, 1)
 
+    # 3DGS scenes carry scale_0..2; 2DGS surfel scenes (Huang et al. layout)
+    # carry scale_0..1 — load however many exist.
+    n_scales = sum(1 for nm in names if nm.startswith("scale_"))
     return dict(
         means3d=np.ascontiguousarray(means3d),
-        scales=np.ascontiguousarray(grab("scale_", 3)),
+        scales=np.ascontiguousarray(grab("scale_", n_scales)),
         quats=np.ascontiguousarray(grab("rot_", 4)),
         opacities_raw=np.ascontiguousarray(table[:, col["opacity"]]),
         features=features,
@@ -124,7 +127,10 @@ def load_gaussian_ply(path: str) -> dict:
 
 
 def save_gaussian_ply(path: str, params: dict) -> None:
-    """Write the raw parameter dict as a standard 3DGS PLY."""
+    """Write the raw parameter dict as a standard 3DGS PLY.
+
+    (N, 2) scales (the 2DGS surfel family) write the 2DGS-standard
+    ``scale_0..1`` layout; (N, 3) the 3DGS ``scale_0..2``."""
     means3d = np.asarray(params["means3d"], np.float32)
     scales = np.asarray(params["scales"], np.float32)
     quats = np.asarray(params["quats"], np.float32)
@@ -141,7 +147,7 @@ def save_gaussian_ply(path: str, params: dict) -> None:
     names += [f"f_dc_{i}" for i in range(3)]
     names += [f"f_rest_{i}" for i in range(3 * k_rest)]
     names += ["opacity"]
-    names += [f"scale_{i}" for i in range(3)]
+    names += [f"scale_{i}" for i in range(scales.shape[1])]
     names += [f"rot_{i}" for i in range(4)]
 
     cols = [

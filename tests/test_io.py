@@ -161,3 +161,23 @@ def test_splat_renders_like_source(tmp_path):
     img_p = np.asarray(render(p))
     img_q = np.asarray(render(q))
     assert np.mean(np.abs(img_p - img_q)) < 0.02
+
+
+def test_surfel_ply_round_trip(tmp_path):
+    # 2DGS layout: two scale columns.
+    from mojosplat_tpu.utils.ply import load_gaussian_ply, save_gaussian_ply
+
+    rng = np.random.default_rng(8)
+    p = dict(
+        means3d=rng.normal(size=(32, 3)).astype(np.float32),
+        scales=rng.normal(size=(32, 2)).astype(np.float32),
+        quats=rng.normal(size=(32, 4)).astype(np.float32),
+        opacities_raw=rng.normal(size=(32,)).astype(np.float32),
+        features=rng.uniform(size=(32, 3)).astype(np.float32),
+    )
+    path = str(tmp_path / "surfels.ply")
+    save_gaussian_ply(path, p)
+    q = load_gaussian_ply(path)
+    assert q["scales"].shape == (32, 2)
+    np.testing.assert_allclose(q["scales"], p["scales"], rtol=1e-6)
+    np.testing.assert_allclose(q["means3d"], p["means3d"], rtol=1e-6)

@@ -29,7 +29,7 @@ from mojosplat_tpu.surfel import (  # noqa: E402
     normal_consistency_loss,
     render_surfels,
 )
-from mojosplat_tpu.utils import save_png  # noqa: E402
+from mojosplat_tpu.utils import save_gaussian_ply, save_png  # noqa: E402
 
 
 def init_surfels(key, n, position_scale=1.0):
@@ -166,6 +166,9 @@ def main():
           f"after {done} steps")
     save_png(img1[0], os.path.join(args.out_dir, "after.png"))
     save_png(targets[0], os.path.join(args.out_dir, "target.png"))
+    ply = os.path.join(args.out_dir, "fitted_surfels.ply")
+    save_gaussian_ply(ply, jax.device_get(state.params))
+    print(f"Saved fitted surfel scene to {ply} (2DGS two-scale layout)")
 
 
 if __name__ == "__main__":

@@ -23,7 +23,7 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from mojosplat_tpu import RenderConfig, render_gaussians  # noqa: E402
+from mojosplat_tpu import RenderConfig, render_gaussians, render_surfels  # noqa: E402
 from mojosplat_tpu import train as mtrain  # noqa: E402
 from mojosplat_tpu.train import psnr  # noqa: E402
 from mojosplat_tpu.utils import load_gaussian_ply, save_png  # noqa: E402
@@ -59,6 +59,8 @@ def main():
         k: jnp.asarray(v) for k, v in load_gaussian_ply(args.ply).items()
     }
     sh_degree = int(round(params["features"].shape[1] ** 0.5)) - 1
+    # Two scale columns = a 2DGS surfel scene (utils/ply.py layout note).
+    surfels = params["scales"].shape[-1] == 2
     print(f"{params['means3d'].shape[0]} gaussians, SH degree {sh_degree}; "
           f"{len(views)} test views at {W}x{H}")
 
@@ -67,10 +69,12 @@ def main():
         tile_batch=512, raster_impl=args.impl,
     )
 
+    render_fn = render_surfels if surfels else render_gaussians
+
     @jax.jit
     def render(p, cam):
         q = mtrain.activate(p) if "opacities_raw" in p else p
-        return render_gaussians(
+        return render_fn(
             q["means3d"], q["scales"], q["quats"], q["opacities"],
             q["features"], cam, sh_degree=sh_degree, config=config,
         )

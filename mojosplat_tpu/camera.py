@@ -26,22 +26,33 @@ import jax.numpy as jnp
 @partial(
     jax.tree_util.register_dataclass,
     data_fields=["R", "T", "fx", "fy", "cx", "cy", "near", "far", "dist"],
-    meta_fields=["H", "W"],
+    meta_fields=["H", "W", "camera_model"],
 )
 @dataclasses.dataclass(frozen=True)
 class Camera:
-    """Pinhole camera with world-to-camera extrinsics.
+    """Camera with world-to-camera extrinsics.
 
     Leading batch dimensions are allowed on every data field (e.g. ``R`` of
     shape ``(B, 3, 3)``) for batched multi-view rendering.
 
-    ``dist`` holds OpenCV-convention distortion coefficients
-    (k1, k2, p1, p2, k3) — the lens model behind the 5 reserved slots in the
-    reference's flattened intrinsics vector ([fx, fy, cx, cy, k1..k5],
-    projection.py:444-447, which it always fills with zeros). Distortion is
-    applied by the unscented projection mode (config.projection_mode="ut" —
-    sigma points go through the exact distorted map); the EWA mode, like the
-    reference, ignores it.
+    ``camera_model`` selects the lens map (static metadata — it changes the
+    traced program):
+      - ``"pinhole"`` (default): ideal perspective, optionally with OpenCV
+        radial/tangential distortion. ``dist`` holds (k1, k2, p1, p2, k3) —
+        the model behind the 5 reserved slots in the reference's flattened
+        intrinsics vector ([fx, fy, cx, cy, k1..k5], projection.py:444-447,
+        which it always fills with zeros).
+      - ``"fisheye"``: OpenCV equidistant fisheye (cv::fisheye convention):
+        theta_d = theta (1 + k1 th^2 + k2 th^4 + k3 th^6 + k4 th^8) with
+        ``dist`` holding (k1, k2, k3, k4, unused).
+      - ``"ortho"``: orthographic, u = fx x + cx (no z divide); ``dist`` is
+        ignored. Exact in both projection modes.
+
+    Distortion and the fisheye map are applied by the unscented projection
+    mode (config.projection_mode="ut" — sigma points go through the exact
+    lens map, so no distortion Jacobian is ever needed); fisheye cameras are
+    routed to the unscented path automatically. The EWA mode, like the
+    reference, ignores pinhole ``dist``.
     """
 
     R: jax.Array  # (..., 3, 3) world-to-camera rotation
@@ -54,7 +65,8 @@ class Camera:
     cy: jax.Array
     near: jax.Array
     far: jax.Array
-    dist: jax.Array  # (..., 5) OpenCV (k1, k2, p1, p2, k3)
+    dist: jax.Array  # (..., 5); meaning depends on camera_model (see above)
+    camera_model: str = "pinhole"
 
     @staticmethod
     def create(
@@ -70,12 +82,17 @@ class Camera:
         far=100.0,
         dist=None,
         dtype=jnp.float32,
+        camera_model: str = "pinhole",
     ) -> "Camera":
         """Build a camera, coercing scalars/arrays to the given dtype.
 
-        ``dist``: optional (..., 5) OpenCV (k1, k2, p1, p2, k3); defaults to
-        zeros (ideal pinhole), broadcast to the batch shape of ``fx``.
+        ``dist``: optional (..., 5) distortion coefficients — OpenCV
+        (k1, k2, p1, p2, k3) for ``camera_model="pinhole"``, equidistant
+        (k1, k2, k3, k4, unused) for ``"fisheye"``; defaults to zeros (ideal
+        lens), broadcast to the batch shape of ``fx``.
         """
+        if camera_model not in ("pinhole", "fisheye", "ortho"):
+            raise ValueError(f"Unknown camera_model: {camera_model!r}")
         as_arr = lambda v: jnp.asarray(v, dtype=dtype)
         fx_a = as_arr(fx)
         if dist is None:
@@ -94,6 +111,7 @@ class Camera:
             near=as_arr(near),
             far=as_arr(far),
             dist=dist_a,
+            camera_model=camera_model,
         )
 
     @property

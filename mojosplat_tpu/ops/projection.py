@@ -228,6 +228,16 @@ def _fused_cov2d(means3d, scales, quats, camera):
 
     fx, fy, cx, cy = camera.fx, camera.fy, camera.cx, camera.cy
     width, height = camera.W, camera.H
+
+    if camera.camera_model == "ortho":
+        # Orthographic projection is linear, so "EWA" is exact here:
+        # J = [[fx, 0, 0], [0, fy, 0]] (gsplat's ortho camera model).
+        c00 = fx * fx * sc00
+        c01 = fx * fy * sc01
+        c11 = fy * fy * sc11
+        means2d = jnp.stack([fx * tx + cx, fy * ty + cy], axis=-1)
+        return means2d, tz, c00, c01, c11
+
     tz_safe = jnp.where(jnp.abs(tz) < 1e-8, 1e-8, tz)
     rz = 1.0 / tz_safe
     rz2 = rz * rz
@@ -257,6 +267,46 @@ def _fused_cov2d(means3d, scales, quats, camera):
 def s2c(saa, sab, sbb, a):
     """Quadratic form (1, -a) [[saa, sab], [sab, sbb]] (1, -a)^T."""
     return saa - 2.0 * a * sab + a * a * sbb
+
+
+def apply_lens(camera, xn, yn):
+    """Lens map: (undistorted normalized coords) -> (distorted normalized
+    coords), per camera.camera_model. Used by the unscented projection path,
+    which pushes sigma points through the EXACT lens map — the point of the
+    3DGUT formulation: no distortion Jacobian is ever needed.
+
+    "pinhole": OpenCV radial/tangential distortion (k1, k2, p1, p2, k3) —
+    the model behind the reference's 5 reserved-and-zeroed intrinsics slots
+    (projection.py:444-447). Zero coefficients reduce to the ideal pinhole
+    bit-for-bit (factor == 1, tangential terms == 0).
+
+    "fisheye": OpenCV equidistant fisheye (cv::fisheye):
+    r = |(xn, yn)|, theta = atan(r),
+    theta_d = theta (1 + k1 th^2 + k2 th^4 + k3 th^6 + k4 th^8),
+    out = (theta_d / r) (xn, yn), with dist = (k1, k2, k3, k4, unused).
+    atan saturates for wide angles, so FOVs approaching 180 deg stay finite
+    where the pinhole map diverges.
+    """
+    if camera.camera_model == "fisheye":
+        k1, k2, k3, k4 = (camera.dist[..., i] for i in range(4))
+        r2 = xn * xn + yn * yn
+        # Double-where: sqrt/atan-over-r has a 0/0 removable singularity on
+        # the optical axis; sanitize the INPUT so the backward of the
+        # unselected branch stays finite (the lens map is even in r there,
+        # so the true on-axis derivative of the scale factor is 0).
+        on_axis = r2 < 1e-12
+        r = jnp.sqrt(jnp.where(on_axis, 1.0, r2))
+        th = jnp.arctan(r)
+        th2 = th * th
+        th_d = th * (1.0 + th2 * (k1 + th2 * (k2 + th2 * (k3 + th2 * k4))))
+        scale = jnp.where(on_axis, 1.0, th_d / r)
+        return xn * scale, yn * scale
+    k1, k2, p1, p2, k3 = (camera.dist[..., i] for i in range(5))
+    r2 = xn * xn + yn * yn
+    factor = 1.0 + r2 * (k1 + r2 * (k2 + r2 * k3))
+    xd = xn * factor + 2.0 * p1 * xn * yn + p2 * (r2 + 2.0 * xn * xn)
+    yd = yn * factor + p1 * (r2 + 2.0 * yn * yn) + 2.0 * p2 * xn * yn
+    return xd, yd
 
 
 def _unscented_cov2d(means3d, scales, quats, camera, config):
@@ -312,21 +362,16 @@ def _unscented_cov2d(means3d, scales, quats, camera, config):
         ],
         axis=1,
     )  # (N, 7, 3)
-    z_floor = 0.01 * jnp.where(ok, zc, 1.0)
-    z = jnp.maximum(pts[..., 2], z_floor[:, None])
-    xn = pts[..., 0] / z  # (N, 7) normalized image coordinates
-    yn = pts[..., 1] / z
-    # OpenCV radial/tangential lens distortion (k1, k2, p1, p2, k3) — the
-    # model behind the reference's 5 reserved-and-zeroed intrinsics slots
-    # (projection.py:444-447). Sigma points go through the EXACT distorted
-    # map, which is the point of the unscented formulation (3DGUT): no
-    # distortion Jacobian is ever needed. Zero coefficients reduce this to
-    # the ideal pinhole bit-for-bit (factor == 1, tangential terms == 0).
-    k1, k2, p1, p2, k3 = (camera.dist[..., i] for i in range(5))
-    r2 = xn * xn + yn * yn
-    factor = 1.0 + r2 * (k1 + r2 * (k2 + r2 * k3))
-    xd = xn * factor + 2.0 * p1 * xn * yn + p2 * (r2 + 2.0 * xn * xn)
-    yd = yn * factor + p1 * (r2 + 2.0 * yn * yn) + 2.0 * p2 * xn * yn
+    if camera.camera_model == "ortho":
+        # Orthographic: no z-divide and no lens; the UT then recovers the
+        # exact linear pushforward (all sigma points map affinely).
+        xd, yd = pts[..., 0], pts[..., 1]
+    else:
+        z_floor = 0.01 * jnp.where(ok, zc, 1.0)
+        z = jnp.maximum(pts[..., 2], z_floor[:, None])
+        xn = pts[..., 0] / z  # (N, 7) normalized image coordinates
+        yn = pts[..., 1] / z
+        xd, yd = apply_lens(camera, xn, yn)
     y = jnp.stack(
         [camera.fx * xd + camera.cx, camera.fy * yd + camera.cy],
         axis=-1,
@@ -360,8 +405,13 @@ def project_gaussians(
 
     Same public signature role as project_gaussians (projection.py:15-48), with
     the backend dispatch replaced by a single TPU-native implementation.
+
+    Fisheye cameras are routed to the unscented path regardless of
+    config.projection_mode: EWA's linearization (and its guard-band clamp)
+    is specific to the perspective map, while the sigma points go through
+    the exact equidistant lens (apply_lens).
     """
-    if config.projection_mode == "ut":
+    if config.projection_mode == "ut" or camera.camera_model == "fisheye":
         means2d, depths, c00_raw, c01_raw, c11_raw = _unscented_cov2d(
             means3d, scales, quats, camera, config
         )

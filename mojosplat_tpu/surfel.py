@@ -164,6 +164,14 @@ def render_surfels(
         )
     if config.raster_impl not in ("xla", "pallas"):
         raise ValueError(f"Unknown raster_impl: {config.raster_impl!r}")
+    if camera.camera_model != "pinhole":
+        # The per-pixel ray build (_surfel_alphas) inverts the ideal pinhole
+        # map; distorted/fisheye rays are a 3DGS-path feature (projection
+        # goes through apply_lens there).
+        raise NotImplementedError(
+            "render_surfels supports pinhole cameras only; "
+            f"got camera_model={camera.camera_model!r}"
+        )
     N = means3d.shape[0]
     if sh_degree is None:
         colors = features

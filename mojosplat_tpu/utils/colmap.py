@@ -158,13 +158,17 @@ def qvec_to_rotmat(q: np.ndarray) -> np.ndarray:
 
 
 def camera_intrinsics(cam: ColmapCamera, downscale: int = 1):
-    """(fx, fy, cx, cy, W, H, dist) from a COLMAP camera, downscaled.
+    """(fx, fy, cx, cy, W, H, dist, camera_model) from a COLMAP camera,
+    downscaled.
 
-    ``dist`` is the OpenCV (k1, k2, p1, p2, k3) vector Camera.dist expects
+    ``dist`` is the coefficient vector Camera.dist expects
     (normalized-coordinate coefficients, so downscaling leaves them
-    unchanged). Mapped models: SIMPLE_RADIAL (2), RADIAL (3), OPENCV (4),
-    FULL_OPENCV (6, truncated to k3); fisheye models are not supported and
-    fall back to zeros.
+    unchanged) and ``camera_model`` the matching Camera.camera_model.
+    Mapped pinhole-family models: SIMPLE_RADIAL (2), RADIAL (3), OPENCV (4),
+    FULL_OPENCV (6, truncated to k3) -> OpenCV (k1, k2, p1, p2, k3).
+    Mapped fisheye-family models (equidistant, cv::fisheye convention):
+    OPENCV_FISHEYE (5), SIMPLE_RADIAL_FISHEYE (8), RADIAL_FISHEYE (9)
+    -> (k1, k2, k3, k4, 0). Other models fall back to an ideal pinhole.
     """
     p = cam.params
     if cam.model_id in _SINGLE_FOCAL:
@@ -173,6 +177,7 @@ def camera_intrinsics(cam: ColmapCamera, downscale: int = 1):
     else:
         fx, fy, cx, cy = map(float, p[:4])
     dist = np.zeros(5, np.float32)
+    camera_model = "pinhole"
     if cam.model_id == 2:  # SIMPLE_RADIAL: f, cx, cy, k
         dist[0] = p[3]
     elif cam.model_id == 3:  # RADIAL: f, cx, cy, k1, k2
@@ -182,9 +187,19 @@ def camera_intrinsics(cam: ColmapCamera, downscale: int = 1):
     elif cam.model_id == 6:  # FULL_OPENCV: ... k1, k2, p1, p2, k3 (+k4..k6)
         dist[:4] = p[4:8]
         dist[4] = p[8]
+    elif cam.model_id == 5:  # OPENCV_FISHEYE: fx, fy, cx, cy, k1, k2, k3, k4
+        dist[:4] = p[4:8]
+        camera_model = "fisheye"
+    elif cam.model_id == 8:  # SIMPLE_RADIAL_FISHEYE: f, cx, cy, k
+        dist[0] = p[3]
+        camera_model = "fisheye"
+    elif cam.model_id == 9:  # RADIAL_FISHEYE: f, cx, cy, k1, k2
+        dist[0], dist[1] = p[3], p[4]
+        camera_model = "fisheye"
     s = float(downscale)
     return (fx / s, fy / s, cx / s, cy / s,
-            int(cam.width // downscale), int(cam.height // downscale), dist)
+            int(cam.width // downscale), int(cam.height // downscale), dist,
+            camera_model)
 
 
 @dataclass
@@ -201,11 +216,12 @@ class ColmapScene:
         from ..camera import Camera
 
         cam = self.cameras[image.camera_id]
-        fx, fy, cx, cy, W, H, dist = camera_intrinsics(cam, downscale)
+        fx, fy, cx, cy, W, H, dist, model = camera_intrinsics(cam, downscale)
         return Camera.create(
             R=qvec_to_rotmat(image.qvec).astype(np.float32),
             T=image.tvec.astype(np.float32),
             H=H, W=W, fx=fx, fy=fy, cx=cx, cy=cy, dist=dist,
+            camera_model=model,
         )
 
 

@@ -597,15 +597,16 @@ def test_colmap_distortion_mapping():
 
     cam = ColmapCamera(1, 2, 640, 480,
                        np.array([500.0, 320.0, 240.0, 0.05]))
-    fx, fy, cx, cy, W, H, dist = camera_intrinsics(cam)
+    fx, fy, cx, cy, W, H, dist, model = camera_intrinsics(cam)
     assert fx == fy == 500.0 and dist[0] == np.float32(0.05)
-    assert np.all(dist[1:] == 0)
+    assert np.all(dist[1:] == 0) and model == "pinhole"
     cam4 = ColmapCamera(1, 4, 640, 480,
                         np.array([500.0, 505.0, 320.0, 240.0,
                                   0.1, -0.02, 1e-3, -2e-3]))
-    *_, dist4 = camera_intrinsics(cam4, downscale=2)
+    *_, dist4, model4 = camera_intrinsics(cam4, downscale=2)
     np.testing.assert_allclose(dist4[:4], [0.1, -0.02, 1e-3, -2e-3],
                                rtol=1e-6)
+    assert model4 == "pinhole"
 
 
 def test_antialiased_grads_finite_with_degenerate_splats():

@@ -531,22 +531,26 @@ def _unpack_bf16_pair(p):
     return lo, hi
 
 
-def _gather_rows_bwd(interpret, route_bf16, nfields, res, g):
+def _route_slot_grads(g, safe, N, F, n_extra, extra_cols, interpret,
+                      route_bf16):
+    """Sort + banded-MXU segment reduction of per-slot cotangents.
+
+    Routes the first F rows of the (rows, M) per-slot cotangent ``g`` (plus
+    ``n_extra`` caller-supplied extra per-slot columns, e.g. |grad| for
+    absgrad) back to per-gaussian sums via ONE shared payload sort. Returns
+    (N, F + n_extra) summed columns.
+    """
     from .segsum_pallas import segment_sum_cols
 
-    safe, N = res
-    # Rows >= nfields are zero pad columns: their cotangents are identically
-    # zero and their destination slices in `packed` are discarded by the
-    # pack's autodiff, so don't pay sort/reduce bandwidth for them. With a
-    # real aux/depth channel nfields is _PROWS and every row is routed.
-    F = nfields
+    K = F + n_extra
     if route_bf16:
         # bf16 route: halves the payload bytes (~0.4% relative quantization
         # on the per-slot terms; the reduction still accumulates f32 on the
         # MXU) AND pair-packs the bf16 columns into int32 so the sort
-        # carries 5 payload operands instead of 9.
+        # carries half the payload operands.
         cols = [g[i].astype(jnp.bfloat16) for i in range(F)]
-        if F % 2:
+        cols += [c.astype(jnp.bfloat16) for c in extra_cols]
+        if K % 2:
             cols.append(jnp.zeros_like(cols[0]))
         packed_cols = tuple(
             _pack_bf16_pair(cols[i], cols[i + 1])
@@ -557,16 +561,26 @@ def _gather_rows_bwd(interpret, route_bf16, nfields, res, g):
         for c in ops[1:]:
             lo, hi = _unpack_bf16_pair(c)
             unpacked += [lo, hi]
-        d9 = segment_sum_cols(
-            tuple(unpacked[:F]), ops[0], N, interpret=interpret, exact=False
+        return segment_sum_cols(
+            tuple(unpacked[:K]), ops[0], N, interpret=interpret, exact=False
         )
-    else:
-        ops = jax.lax.sort(
-            (safe,) + tuple(g[i] for i in range(F)), num_keys=1
-        )
-        d9 = segment_sum_cols(
-            ops[1:], ops[0], N, interpret=interpret, exact=True
-        )
+    ops = jax.lax.sort(
+        (safe,) + tuple(g[i] for i in range(F)) + tuple(extra_cols),
+        num_keys=1,
+    )
+    return segment_sum_cols(
+        ops[1:], ops[0], N, interpret=interpret, exact=True
+    )
+
+
+def _gather_rows_bwd(interpret, route_bf16, nfields, res, g):
+    safe, N = res
+    # Rows >= nfields are zero pad columns: their cotangents are identically
+    # zero and their destination slices in `packed` are discarded by the
+    # pack's autodiff, so don't pay sort/reduce bandwidth for them. With a
+    # real aux/depth channel nfields is _PROWS and every row is routed.
+    F = nfields
+    d9 = _route_slot_grads(g, safe, N, F, 0, (), interpret, route_bf16)
     # Pad back to the packed row count (g carries it; 10 for the 3DGS
     # kernels, 16 for the surfel kernels which reuse this gather).
     d_packed = jnp.pad(d9, ((0, 0), (0, g.shape[0] - F)))
@@ -577,8 +591,50 @@ def _gather_rows_bwd(interpret, route_bf16, nfields, res, g):
 _gather_rows.defvjp(_gather_rows_fwd, _gather_rows_bwd)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _gather_rows_abs(packed, safe, abs_sink, interpret=False,
+                     route_bf16=False, nfields=_PROWS - 1):
+    """_gather_rows plus absgrad: the cotangent of ``abs_sink`` (an all-zero
+    (N, 2) input that does not affect the forward) is the per-gaussian sum of
+    ABSOLUTE per-slot means2d gradients, sum over tiles of
+    |d L / d means2d restricted to that tile|.
+
+    This is the densification statistic of AbsGS / gsplat's absgrad option
+    (the reference's oracle exposes it; the reference itself has no backward
+    at all): accumulating |grad| per tile instead of letting opposite-sided
+    pixel contributions cancel in the signed sum recovers large
+    under-reconstructed gaussians whose net gradient is ~0. Granularity note:
+    gsplat folds per-pixel |grad| within each tile; here the in-tile
+    reduction is signed (it happens on the MXU inside the backward kernel)
+    and the absolute value is taken per (gaussian, tile) slot — cancellation
+    within one 16x16 tile is possible, across tiles it is not. Costs two
+    extra payload columns on the existing gradient-routing sort; no kernel
+    changes.
+    """
+    return _gather_rows_impl(packed, safe)
+
+
+def _gather_rows_abs_fwd(packed, safe, abs_sink, interpret, route_bf16,
+                         nfields):
+    return _gather_rows_impl(packed, safe), (safe, packed.shape[0])
+
+
+def _gather_rows_abs_bwd(interpret, route_bf16, nfields, res, g):
+    safe, N = res
+    F = nfields
+    extra = (jnp.abs(g[0]), jnp.abs(g[1]))  # |d/dx|, |d/dy| per slot
+    d_all = _route_slot_grads(g, safe, N, F, 2, extra, interpret, route_bf16)
+    d_packed = jnp.pad(d_all[:, :F], ((0, 0), (0, g.shape[0] - F)))
+    d_abs = d_all[:, F : F + 2].astype(jnp.float32)
+    d_safe = np.zeros(safe.shape, dtype=jax.dtypes.float0)
+    return d_packed, d_safe, d_abs
+
+
+_gather_rows_abs.defvjp(_gather_rows_abs_fwd, _gather_rows_abs_bwd)
+
+
 def gather_tile_data(means2d, conics, colors, opacities, slot_gids,
-                     interpret=False, route_bf16=False):
+                     interpret=False, route_bf16=False, absgrad_sink=None):
     """Pack per-gaussian data into (N, 10) rows, gather by table, transpose.
 
     ONE packed row-gather instead of ten field gathers: XLA's TPU gather is
@@ -610,6 +666,12 @@ def gather_tile_data(means2d, conics, colors, opacities, slot_gids,
     # tile's count, and the kernels' count guard never reads them.
     # nfields: route gradients only for the real field rows (pad rows have
     # identically-zero cotangents).
+    if absgrad_sink is not None:
+        # absgrad_sink: zero (N, 2) whose cotangent is the absolute
+        # view-space gradient statistic (see _gather_rows_abs).
+        return _gather_rows_abs(
+            packed, safe, absgrad_sink, interpret, route_bf16, 6 + C
+        )
     return _gather_rows(
         packed, safe, interpret, route_bf16, 6 + C
     )  # (10, n_tiles*cap)

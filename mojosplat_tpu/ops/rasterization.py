@@ -159,11 +159,17 @@ def rasterize_gaussians(
     img_height: int,
     img_width: int,
     config: RenderConfig = DEFAULT_CONFIG,
+    absgrad_sink: jax.Array | None = None,
 ) -> tuple[jax.Array, RasterAux]:
     """Rasterize binned gaussians to an (H, W, C) image.
 
     Public role of rasterize_gaussians (/root/reference/mojosplat/
     rasterization.py:13-57) with backend dispatch replaced by one TPU path.
+
+    ``absgrad_sink``: optional all-zero (N, 2) input whose cotangent is the
+    per-gaussian absolute view-space gradient (AbsGS/gsplat absgrad
+    densification statistic; see raster_pallas._gather_rows_abs). Pallas
+    path only.
     """
     ts = config.tile_size
     K = config.chunk_size
@@ -206,6 +212,7 @@ def rasterize_gaussians(
             means2d, conics, colors, opacities, slot_gids,
             interpret=config.pallas_interpret,
             route_bf16=config.grad_route_bf16,
+            absgrad_sink=absgrad_sink,
         )
         out = raster_tiles_pallas(pdata, counts, ts, tw, config)
         T_tiles = out[:, :, 4]
@@ -227,6 +234,11 @@ def rasterize_gaussians(
         )
     if config.raster_impl != "xla":
         raise ValueError(f"Unknown raster_impl: {config.raster_impl!r}")
+    if absgrad_sink is not None:
+        raise NotImplementedError(
+            "absgrad requires raster_impl='pallas' (the XLA oracle path "
+            "has no per-tile gradient routing to hook)"
+        )
 
     def alpha_fn(px_t, py_t, safe, valid):
         return _pixel_alphas(

@@ -50,6 +50,7 @@ def render_gaussians(
     return_depth: bool = False,
     viewport_rows: tuple[jax.Array | int, int] | None = None,
     means2d_offset: jax.Array | None = None,
+    absgrad_sink: jax.Array | None = None,
 ):
     """Render 3D gaussians to an (H, W, C) image.
 
@@ -113,6 +114,9 @@ def render_gaussians(
         # positional gradient — the densification statistic of 3DGS
         # training (densify.py accumulates its norm).
         proj = proj._replace(means2d=proj.means2d + means2d_offset)
+    # absgrad_sink: like means2d_offset but its cotangent is the ABSOLUTE
+    # per-tile view-space gradient (AbsGS/gsplat absgrad; see
+    # ops/raster_pallas._gather_rows_abs). Does not affect the forward.
 
     if viewport_rows is None:
         means2d, out_h = proj.means2d, camera.H
@@ -159,6 +163,7 @@ def render_gaussians(
         out_h,
         camera.W,
         config,
+        absgrad_sink=absgrad_sink,
     )
     out = (image,)
     if return_depth:

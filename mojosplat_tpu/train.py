@@ -244,10 +244,19 @@ def train_step_with_densify_stats(
     optimizer: optax.GradientTransformation,
     sh_degree: int | None = None,
     config: RenderConfig = DEFAULT_CONFIG,
+    absgrad: bool = False,
 ):
     """Training step that also accumulates view-space gradient statistics
     for adaptive density control (densify.py). Returns
-    (new TrainState, new DensifyState, loss)."""
+    (new TrainState, new DensifyState, loss).
+
+    ``absgrad=True`` accumulates the ABSOLUTE per-tile view-space gradient
+    (AbsGS / gsplat absgrad; requires config.raster_impl='pallas') instead of
+    the signed sum — opposite-sided tile contributions no longer cancel, so
+    large under-reconstructed gaussians densify reliably. Use a roughly 2-4x
+    higher DensifyConfig.grad_threshold with it (gsplat's examples use 8e-4
+    absgrad vs 2e-4 signed).
+    """
     from .densify import accumulate_stats
     from .ops.projection import project_gaussians
 
@@ -256,10 +265,11 @@ def train_step_with_densify_stats(
     def loss_fn(params, offset):
         def render_one(cam):
             p = activate(params)
+            sink = {"absgrad_sink" if absgrad else "means2d_offset": offset}
             return render_gaussians(
                 p["means3d"], p["scales"], p["quats"], p["opacities"],
                 p["features"], cam, sh_degree=sh_degree, config=config,
-                means2d_offset=offset,
+                **sink,
             )
 
         imgs = jax.vmap(render_one)(cameras)

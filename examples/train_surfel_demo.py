@@ -61,8 +61,9 @@ def main():
     ap.add_argument("--out-dir", default="output/train_surfel_demo")
     ap.add_argument(
         "--impl", default="xla", choices=["xla", "pallas"],
-        help="pallas = the surfel TPU kernels (photometric loss only: the "
-        "depth/normal regularizers need the xla path's per-pixel maps)",
+        help="pallas = the surfel TPU kernels (full surface: the aux kernel "
+        "variant renders the depth/normal/distortion maps the regularizers "
+        "need, so both impls train with the same loss)",
     )
     args = ap.parse_args()
     os.makedirs(args.out_dir, exist_ok=True)
@@ -72,7 +73,6 @@ def main():
         tile_capacity=256, chunk_size=32, raster_impl=args.impl,
         pallas_interpret=(jax.default_backend() == "cpu"),
     )
-    use_maps = args.impl == "xla"
 
     def make_cam(i):
         angle = 2.0 * 3.14159 * i / args.views
@@ -115,12 +115,6 @@ def main():
             p = mtrain.activate(params)
 
             def one(cam, tgt):
-                if not use_maps:
-                    img = render_surfels(
-                        p["means3d"], p["scales"], p["quats"],
-                        p["opacities"], p["features"], cam, config=config,
-                    )
-                    return jnp.mean((img - tgt) ** 2)
                 img, depth, normal, dist, aux = render_surfels(
                     p["means3d"], p["scales"], p["quats"], p["opacities"],
                     p["features"], cam, config=config, return_aux=True,

@@ -40,7 +40,7 @@ _FPAD = 16
 
 
 def _kernel(bounds_ref, cols_hbm, out_ref, buf, acc, sem, *, F, key_row,
-            precision):
+            precision, fpad):
     w = pl.program_id(0)
     # Quantize the window's row range to 128-aligned chunk starts; the
     # extra rows straddling the boundary fail the key-window test below.
@@ -56,7 +56,7 @@ def _kernel(bounds_ref, cols_hbm, out_ref, buf, acc, sem, *, F, key_row,
         )
         dma.start()
         dma.wait()
-        chunk = buf[...]  # (_FPAD, R) field-major
+        chunk = buf[...]  # (fpad, R) field-major
         rel = chunk[key_row : key_row + 1, :] - base  # (1, R) f32 exact ints
         j = jax.lax.broadcasted_iota(jnp.int32, (_W, _R), 0).astype(
             jnp.float32
@@ -88,8 +88,10 @@ def segment_sum_cols(cols, keys, num_segments, interpret=False,
     """
     F = len(cols)
     M = keys.shape[0]
-    if F > _FPAD - 1:
-        raise ValueError(f"at most {_FPAD - 1} payload fields, got {F}")
+    # Sublane pad of the field-major DMA buffer: 16 covers the common 3DGS
+    # payloads; wider payloads (the surfel aux kernels route 18 field rows)
+    # bump to the next multiple of 8 and only they pay the extra bandwidth.
+    fpad = max(_FPAD, -(-(F + 1) // 8) * 8)
     n_windows = -(-num_segments // _W)
 
     m_pad = -(-M // _R) * _R + _R
@@ -102,7 +104,7 @@ def segment_sum_cols(cols, keys, num_segments, interpret=False,
         axis=0,
     )  # (F + 1, M)
     stacked = jnp.pad(
-        stacked, ((0, _FPAD - F - 1), (0, m_pad - M))
+        stacked, ((0, fpad - F - 1), (0, m_pad - M))
     )
 
     bounds = jnp.searchsorted(
@@ -115,8 +117,8 @@ def segment_sum_cols(cols, keys, num_segments, interpret=False,
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec((_W, F), lambda w, b: (w, 0)),
         scratch_shapes=[
-            pltpu.VMEM((_FPAD, _R), jnp.float32),  # DMA landing buffer
-            pltpu.VMEM((_W, _FPAD), jnp.float32),  # accumulator
+            pltpu.VMEM((fpad, _R), jnp.float32),  # DMA landing buffer
+            pltpu.VMEM((_W, fpad), jnp.float32),  # accumulator
             pltpu.SemaphoreType.DMA,
         ],
     )
@@ -125,7 +127,7 @@ def segment_sum_cols(cols, keys, num_segments, interpret=False,
     )
     out = pl.pallas_call(
         functools.partial(_kernel, F=F, key_row=key_row,
-                          precision=precision),
+                          precision=precision, fpad=fpad),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_windows * _W, F), jnp.float32),
         interpret=interpret,

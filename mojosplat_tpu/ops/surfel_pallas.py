@@ -15,7 +15,14 @@ Field packing (16 rows, field-major like the 3DGS kernels' 10):
     9-10  c2x,  c2y            projected center (pixels)
     11    opacity
     12-14 rgb
-    15    zero pad
+    15    zero pad             (aux mode: 15-17 = camera-frame normals,
+                                18 rows total)
+
+The aux kernel variant (raster_surfel_tiles_pallas(..., aux=True)) also
+blends the per-pixel ray/disk INTERSECTION depth moments m1 = sum(w z),
+m2 = sum(w z^2) (z from the unprimed 2-components: z = qc2 + u a2 + v b2)
+and the constant normal rows — the full 2DGS output surface (depth /
+normal / distortion maps) in the same single pass, fwd + hand-derived bwd.
 
 The primes fold the intrinsics into the per-surfel rows (row-scaling the
 2x2 system by fx/fy leaves its solution invariant), so the kernel needs
@@ -64,8 +71,14 @@ _DET_EPS = 1e-9
 _S2_MAX = 1e4
 
 
-def _surfel_chunk_geometry(g, k, K, px, py, count, config):
-    """Per-chunk surfel response: (P, K) alpha + backward ingredients."""
+def _surfel_chunk_geometry(g, k, K, px, py, count, config, aux=False):
+    """Per-chunk surfel response: (P, K) alpha + backward ingredients.
+
+    With ``aux`` also computes the per-pixel ray/disk intersection depth
+    z = qc2 + u a2 + v b2 (falling back to the center depth qc2 where the
+    low-pass filter dominates or the ray is parallel to the disk), exactly
+    mirroring surfel._surfel_alphas(with_depth=True).
+    """
     qc0, qc1, qc2 = g[0:1, :], g[1:2, :], g[2:3, :]
     a0, a1, a2 = g[3:4, :], g[4:5, :], g[5:6, :]
     b0, b1, b2 = g[6:7, :], g[7:8, :], g[8:9, :]
@@ -102,15 +115,26 @@ def _surfel_chunk_geometry(g, k, K, px, py, count, config):
         u=u, v=v, s2=s2, g_surf=g_surf, g_filt=g_filt, gm=gm, dx=dx, dy=dy,
         op=op, raw=raw, keep=keep, px=px, py=py,
     )
+    if aux:
+        use_surf = ok & (g_surf >= g_filt)
+        z = jnp.where(use_surf, qc2 + u * a2 + v * b2, qc2)
+        geo["use_surf"] = use_surf
+        geo["z"] = z
+        geo["a2"] = a2
+        geo["b2"] = b2
     return alpha, geo
 
 
 def _fwd_kernel(counts_ref, pdata_ref, out_ref, thist_ref,
-                t_s, done_s, acc_s, *, K, P, ts, tw, tps, config):
+                t_s, done_s, acc_s, *, K, P, ts, tw, tps, config, aux):
     tt = pl.program_id(0)
     eps = config.transmittance_eps
     cap = pdata_ref.shape[1] // tps
     thist_ref[...] = jnp.full_like(thist_ref, -1.0)
+    # aux mode: constants are rgb(12:15) + normals(15:18) and two per-pixel
+    # moment columns (z, z^2) of the intersection depth are accumulated
+    # alongside; acc layout [rgb(3), n(3), m1, m2]. Plain mode: [rgb, pad].
+    nacc = 8 if aux else _CCOLS
 
     for i in range(tps):
         t = tt * tps + i
@@ -119,7 +143,7 @@ def _fwd_kernel(counts_ref, pdata_ref, out_ref, thist_ref,
 
         t_s[...] = jnp.ones((P, 1), jnp.float32)
         done_s[...] = jnp.zeros((P, 1), jnp.float32)
-        acc_s[...] = jnp.zeros((P, _CCOLS), jnp.float32)
+        acc_s[...] = jnp.zeros((P, nacc), jnp.float32)
 
         for k in range(cap // K):
             guard = (k * K < count) & (jnp.min(done_s[...]) == 0.0)
@@ -132,8 +156,8 @@ def _fwd_kernel(counts_ref, pdata_ref, out_ref, thist_ref,
                     done == 0.0, t_in, -t_in
                 )
                 g = _chunk_rows(pdata_ref, i * (cap // K) + k, K)
-                alpha, _geo = _surfel_chunk_geometry(
-                    g, k, K, px, py, count, config
+                alpha, geo = _surfel_chunk_geometry(
+                    g, k, K, px, py, count, config, aux=aux
                 )
                 col = jax.lax.broadcasted_iota(jnp.int32, alpha.shape, 1)
                 cum = _lane_cumprod(1.0 - alpha, col, K)
@@ -144,12 +168,22 @@ def _fwd_kernel(counts_ref, pdata_ref, out_ref, thist_ref,
                 excl = _lane_excl(cum, col, 1.0)
                 w = eff * t_in * excl
 
-                cols_t = g[12:16, :]  # rgb + zero pad row
-                acc_s[...] = acc_s[...] + jax.lax.dot_general(
+                if aux:
+                    cols_t = g[12:18, :]  # rgb + normals
+                    z = geo["z"]
+                    wz = jnp.sum(w * z, axis=1, keepdims=True)
+                    wz2 = jnp.sum(w * z * z, axis=1, keepdims=True)
+                    pix = jnp.concatenate([wz, wz2], axis=1)
+                else:
+                    cols_t = g[12:16, :]  # rgb + zero pad row
+                mm = jax.lax.dot_general(
                     w, cols_t, (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32,
                     precision=jax.lax.Precision.HIGHEST,
                 )
+                if aux:
+                    mm = jnp.concatenate([mm, pix], axis=1)
+                acc_s[...] = acc_s[...] + mm
                 t_s[...] = jnp.min(
                     jnp.where(applied, t_after, t_in), axis=1, keepdims=True
                 )
@@ -164,7 +198,7 @@ def _fwd_kernel(counts_ref, pdata_ref, out_ref, thist_ref,
 
 
 def _bwd_kernel(counts_ref, pdata_ref, gout_ref, thist_ref,
-                dpdata_ref, gt_s, *, K, P, ts, tw, tps, config):
+                dpdata_ref, gt_s, *, K, P, ts, tw, tps, config, aux):
     grad_precision = (
         jax.lax.Precision.DEFAULT
         if config.grad_route_bf16
@@ -174,6 +208,7 @@ def _bwd_kernel(counts_ref, pdata_ref, gout_ref, thist_ref,
     eps = config.transmittance_eps
     cap = pdata_ref.shape[1] // tps
     nchunks_max = cap // K
+    ncc = 6 if aux else _CCOLS  # constant (matmul-blended) channels
 
     dpdata_ref[...] = jnp.zeros_like(dpdata_ref)
 
@@ -182,9 +217,12 @@ def _bwd_kernel(counts_ref, pdata_ref, gout_ref, thist_ref,
         count = counts_ref[t]
         px, py = _tile_pixel_centers(t, ts, tw, P)
 
-        gout = gout_ref[i, :, :]  # (P, _OCOLS)
-        v_cot = gout[:, :_CCOLS]
-        gt_s[...] = gout[:, _CCOLS : _CCOLS + 1]
+        gout = gout_ref[i, :, :]  # (P, _OCOLS or 9)
+        v_cot = gout[:, :ncc]
+        if aux:
+            v_z = gout[:, 6:7]
+            v_z2 = gout[:, 7:8]
+        gt_s[...] = gout[:, ncc + (2 if aux else 0) :][:, :1]
 
         for k in reversed(range(nchunks_max)):
             th = thist_ref[i, :, k : k + 1]
@@ -195,7 +233,7 @@ def _bwd_kernel(counts_ref, pdata_ref, gout_ref, thist_ref,
                 gt = gt_s[...]
                 g = _chunk_rows(pdata_ref, i * nchunks_max + k, K)
                 alpha, geo = _surfel_chunk_geometry(
-                    g, k, K, px, py, count, config
+                    g, k, K, px, py, count, config, aux=aux
                 )
                 col = jax.lax.broadcasted_iota(jnp.int32, alpha.shape, 1)
                 cum = _lane_cumprod(1.0 - alpha, col, K)
@@ -211,17 +249,22 @@ def _bwd_kernel(counts_ref, pdata_ref, gout_ref, thist_ref,
                 )
                 t_out = t_in * cum_last
 
-                cols_t = g[12:16, :]
+                cols_t = g[12 : 12 + ncc, :]
                 cv = jax.lax.dot_general(
                     v_cot, cols_t, (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
                     precision=grad_precision,
                 )  # (P, K)
+                if aux:
+                    # Per-pixel moment channels ride the same blend weight:
+                    # contribution w * (v_z z + v_z2 z^2).
+                    z = geo["z"]
+                    cv = cv + v_z * z + v_z2 * z * z
                 d_cols_t = jax.lax.dot_general(
                     v_cot, w, (((0,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
                     precision=grad_precision,
-                )  # (4, K)
+                )  # (ncc, K)
 
                 q = w * cv
                 S = _lane_rev_cumsum_excl(q, col, K)
@@ -251,6 +294,16 @@ def _bwd_kernel(counts_ref, pdata_ref, gout_ref, thist_ref,
                 )
                 d_u = d_s2 * 2.0 * geo["u"]
                 d_v = d_s2 * 2.0 * geo["v"]
+                if aux:
+                    # Intersection-depth chain: z enters the loss through
+                    # the per-pixel moment channels (weight w per slot);
+                    # z = qc2 + u a2 + v b2 on use_surf lanes, qc2 otherwise
+                    # (dz/dqc2 = 1 in both branches).
+                    z = geo["z"]
+                    d_z = w * (v_z + 2.0 * z * v_z2)  # (P, K)
+                    d_zs = jnp.where(geo["use_surf"], d_z, 0.0)
+                    d_u = d_u + d_zs * geo["a2"]
+                    d_v = d_v + d_zs * geo["b2"]
                 det = geo["det_safe"]
                 d_r1 = (geo["A22"] * d_u - geo["A21"] * d_v) / det
                 d_r2 = (-geo["A12"] * d_u + geo["A11"] * d_v) / det
@@ -262,24 +315,31 @@ def _bwd_kernel(counts_ref, pdata_ref, gout_ref, thist_ref,
                 def rsum(x):
                     return jnp.sum(x, axis=0, keepdims=True)  # (1, K)
 
+                d_qc2 = px * d_r1 + py * d_r2
+                d_a2 = -px * d_A11 - py * d_A21
+                d_b2 = -px * d_A12 - py * d_A22
+                if aux:
+                    d_qc2 = d_qc2 + d_z
+                    d_a2 = d_a2 + d_zs * geo["u"]
+                    d_b2 = d_b2 + d_zs * geo["v"]
                 d_g = jnp.concatenate(
                     [
                         rsum(-d_r1),  # qc0'
                         rsum(-d_r2),  # qc1'
-                        rsum(px * d_r1 + py * d_r2),  # qc2
+                        rsum(d_qc2),  # qc2
                         rsum(d_A11),  # a0'
                         rsum(d_A21),  # a1'
-                        rsum(-px * d_A11 - py * d_A21),  # a2
+                        rsum(d_a2),  # a2
                         rsum(d_A12),  # b0'
                         rsum(d_A22),  # b1'
-                        rsum(-px * d_A12 - py * d_A22),  # b2
+                        rsum(d_b2),  # b2
                         rsum(d_c2x),
                         rsum(d_c2y),
                         rsum(d_op2),  # opacity
-                        d_cols_t,  # rgb + pad (4, K)
+                        d_cols_t,  # rgb + pad (4, K) / rgb + normals (6, K)
                     ],
                     axis=0,
-                )  # (16, K)
+                )  # (16 or 18, K)
                 sl0 = (i * nchunks_max + k) * K
                 dpdata_ref[:, sl0 : sl0 + K] = d_g
 
@@ -289,17 +349,24 @@ def _bwd_kernel(counts_ref, pdata_ref, gout_ref, thist_ref,
                 )
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
-def raster_surfel_tiles_pallas(pdata, counts, ts, tw, config):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
+def raster_surfel_tiles_pallas(pdata, counts, ts, tw, config, aux=False):
     """Blend each tile's gathered surfels front-to-back.
 
     pdata: (16, n_tiles*cap) f32 field-major rows (see module docstring);
     returns (n_tiles, ts*ts, 5): rgb, zero aux, final transmittance.
+
+    ``aux=True`` (static): pdata is 18 rows (rgb at 12:15, camera-frame
+    viewer-oriented normals at 15:18) and the output widens to
+    (n_tiles, ts*ts, 9): rgb(0:3), blended normals(3:6), intersection-depth
+    moments m1 = sum(w z) (6) and m2 = sum(w z^2) (7), transmittance (8) —
+    everything render_surfels' depth/normal/distortion maps need, in the
+    same single pass.
     """
-    return _fwd_call(pdata, counts, ts, tw, config)[0]
+    return _fwd_call(pdata, counts, ts, tw, config, aux)[0]
 
 
-def _fwd_call(pdata, counts, ts, tw, config):
+def _fwd_call(pdata, counts, ts, tw, config, aux=False):
     n_tiles = counts.shape[0]
     cap = pdata.shape[1] // n_tiles
     P = ts * ts
@@ -309,31 +376,33 @@ def _fwd_call(pdata, counts, ts, tw, config):
         raise ValueError(f"tile_capacity {cap} % pallas_chunk {K} != 0")
     pdata, counts, n_pad = _pad_tiles(pdata, counts, cap, tps)
     nc = cap // K
+    rows = pdata.shape[0]
+    oc = 9 if aux else _OCOLS
 
     kernel = functools.partial(
-        _fwd_kernel, K=K, P=P, ts=ts, tw=tw, tps=tps, config=config
+        _fwd_kernel, K=K, P=P, ts=ts, tw=tw, tps=tps, config=config, aux=aux
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_pad // tps,),
         in_specs=[
-            pl.BlockSpec((_SROWS, tps * cap), lambda t, c: (0, t)),
+            pl.BlockSpec((rows, tps * cap), lambda t, c: (0, t)),
         ],
         out_specs=[
-            pl.BlockSpec((tps, P, _OCOLS), lambda t, c: (t, 0, 0)),
+            pl.BlockSpec((tps, P, oc), lambda t, c: (t, 0, 0)),
             pl.BlockSpec((tps, P, nc), lambda t, c: (t, 0, 0)),
         ],
         scratch_shapes=[
             pltpu.VMEM((P, 1), jnp.float32),
             pltpu.VMEM((P, 1), jnp.float32),
-            pltpu.VMEM((P, _CCOLS), jnp.float32),
+            pltpu.VMEM((P, 8 if aux else _CCOLS), jnp.float32),
         ],
     )
     out, thist = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((n_pad, P, _OCOLS), jnp.float32),
+            jax.ShapeDtypeStruct((n_pad, P, oc), jnp.float32),
             jax.ShapeDtypeStruct((n_pad, P, nc), jnp.float32),
         ],
         interpret=config.pallas_interpret,
@@ -341,12 +410,12 @@ def _fwd_call(pdata, counts, ts, tw, config):
     return out[:n_tiles], thist
 
 
-def _fwd_rule(pdata, counts, ts, tw, config):
-    out, thist = _fwd_call(pdata, counts, ts, tw, config)
+def _fwd_rule(pdata, counts, ts, tw, config, aux=False):
+    out, thist = _fwd_call(pdata, counts, ts, tw, config, aux)
     return out, (pdata, counts, thist)
 
 
-def _bwd_rule(ts, tw, config, residuals, gout):
+def _bwd_rule(ts, tw, config, aux, residuals, gout):
     pdata, counts, thist = residuals
     n_tiles = counts.shape[0]
     cap = pdata.shape[1] // n_tiles
@@ -355,21 +424,23 @@ def _bwd_rule(ts, tw, config, residuals, gout):
     tps = config.pallas_tiles_per_step
     pdata, counts, n_pad = _pad_tiles(pdata, counts, cap, tps)
     nc = cap // K
+    rows = pdata.shape[0]
+    oc = 9 if aux else _OCOLS
     if n_pad != n_tiles:
         gout = jnp.pad(gout, ((0, n_pad - n_tiles), (0, 0), (0, 0)))
 
     kernel = functools.partial(
-        _bwd_kernel, K=K, P=P, ts=ts, tw=tw, tps=tps, config=config
+        _bwd_kernel, K=K, P=P, ts=ts, tw=tw, tps=tps, config=config, aux=aux
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_pad // tps,),
         in_specs=[
-            pl.BlockSpec((_SROWS, tps * cap), lambda t, c: (0, t)),
-            pl.BlockSpec((tps, P, _OCOLS), lambda t, c: (t, 0, 0)),
+            pl.BlockSpec((rows, tps * cap), lambda t, c: (0, t)),
+            pl.BlockSpec((tps, P, oc), lambda t, c: (t, 0, 0)),
             pl.BlockSpec((tps, P, nc), lambda t, c: (t, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((_SROWS, tps * cap), lambda t, c: (0, t)),
+        out_specs=pl.BlockSpec((rows, tps * cap), lambda t, c: (0, t)),
         scratch_shapes=[
             pltpu.VMEM((P, 1), jnp.float32),
         ],
@@ -377,7 +448,7 @@ def _bwd_rule(ts, tw, config, residuals, gout):
     d_pdata = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((_SROWS, n_pad * cap), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((rows, n_pad * cap), jnp.float32),
         interpret=config.pallas_interpret,
     )(counts, pdata, gout, thist)
     d_pdata = d_pdata[:, : n_tiles * cap]
@@ -389,26 +460,32 @@ raster_surfel_tiles_pallas.defvjp(_fwd_rule, _bwd_rule)
 
 
 def gather_surfel_tile_data(primed, colors, slot_gids, interpret=False,
-                            route_bf16=False):
-    """Pack per-surfel rows into (N, 16), gather by slot ids, transpose.
+                            route_bf16=False, normals=None):
+    """Pack per-surfel rows into (N, 16/18), gather by slot ids, transpose.
 
     ``primed``: (N, 12) rows [qc'(3), a'(3), b'(3), c2(2), op] with the
     intrinsics already folded in (see primed_surfel_data). Same one-wide-
     row-gather + sort-based adjoint as the 3DGS path (_gather_rows).
+
+    ``normals``: optional (N, 3) camera-frame viewer-oriented unit normals
+    for the aux kernel variant — packed as three more constant rows (18
+    total); their gradients route back through the same sort.
     """
     N = primed.shape[0]
-    packed = jnp.concatenate(
-        [
-            primed.astype(jnp.float32),
-            colors.astype(jnp.float32),
-            jnp.zeros((N, _SROWS - 12 - colors.shape[-1]), jnp.float32),
-        ],
-        axis=-1,
-    )  # (N, 16)
+    parts = [primed.astype(jnp.float32), colors.astype(jnp.float32)]
+    nconst = 12 + colors.shape[-1]
+    if normals is not None:
+        parts.append(normals.astype(jnp.float32))
+        nconst += 3
+    else:
+        parts.append(
+            jnp.zeros((N, _SROWS - nconst), jnp.float32)
+        )
+    packed = jnp.concatenate(parts, axis=-1)  # (N, 16 or 18)
     safe = jnp.clip(slot_gids.reshape(-1), 0, N - 1)
     return _gather_rows(
-        packed, safe, interpret, route_bf16, 12 + colors.shape[-1]
-    )  # (16, n_tiles*cap)
+        packed, safe, interpret, route_bf16, nconst
+    )  # (16 or 18, n_tiles*cap)
 
 
 def primed_surfel_data(data, camera):

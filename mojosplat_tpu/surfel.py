@@ -28,9 +28,11 @@ Reuse of the 3DGS machinery:
     alpha_fn — the same chunked front-to-back recurrence, early exit and
     aux outputs as the 3DGS path.
 
-Rendering runs on both paths: the XLA blender (the oracle; also provides
-the per-pixel depth / normal / distortion maps) and dedicated Pallas TPU
-kernels (ops/surfel_pallas.py, RGB+alpha fwd+bwd) for production speed.
+Rendering runs on both paths: the XLA blender (the oracle) and dedicated
+Pallas TPU kernels (ops/surfel_pallas.py) for production speed — both
+provide the full output surface (RGB + per-pixel intersection depth /
+normal / distortion maps, fwd+bwd), so 2DGS training with the paper's
+regularizers runs at kernel speed.
 """
 
 from __future__ import annotations
@@ -155,13 +157,6 @@ def render_surfels(
         regularizer of the paper's eq. 4 in moment form; take its mean over
         covered pixels as the loss.
     """
-    if config.raster_impl == "pallas" and (
-        return_depth or return_normals or return_distortion
-    ):
-        raise NotImplementedError(
-            "the surfel Pallas kernels render RGB+alpha; use "
-            "RenderConfig(raster_impl='xla') for depth/normal/distortion maps"
-        )
     if config.raster_impl not in ("xla", "pallas"):
         raise ValueError(f"Unknown raster_impl: {config.raster_impl!r}")
     if camera.camera_model != "pinhole":
@@ -228,6 +223,15 @@ def render_surfels(
 
     data = surfel_alpha_data(means3d, scales, quats, opacities, camera)
     want_vals = return_depth or return_distortion
+    want_maps = return_depth or return_normals or return_distortion
+
+    def oriented_normals():
+        a, b = data[:, 3:6], data[:, 6:9]
+        n = jnp.cross(a, b)
+        n = n / jnp.maximum(jnp.linalg.norm(n, axis=-1, keepdims=True),
+                            1e-12)
+        # Orient toward the viewer (the paper flips by sign of n . dir).
+        return jnp.where((n[:, 2:3] > 0), -n, n)
 
     if config.raster_impl == "pallas":
         # Production TPU path: the surfel Pallas kernels
@@ -282,9 +286,14 @@ def render_surfels(
             primed, colors, slot_gids,
             interpret=config.pallas_interpret,
             route_bf16=config.grad_route_bf16,
+            normals=oriented_normals() if want_maps else None,
         )
-        out = raster_surfel_tiles_pallas(pdata, counts, ts, tw, config)
-        T_tiles = out[:, :, 4]
+        out = raster_surfel_tiles_pallas(
+            pdata, counts, ts, tw, config, want_maps
+        )
+        # Non-aux layout: rgb(0:3), pad, T(4). Aux: rgb(0:3), normals(3:6),
+        # m1(6), m2(7), T(8).
+        T_tiles = out[:, :, 8 if want_maps else 4]
         out_tiles = (
             out[:, :, :3] + T_tiles[:, :, None] * background[None, None, :]
         ).astype(colors.dtype)
@@ -297,30 +306,36 @@ def render_surfels(
             ]
 
         image = assemble(out_tiles, 3)
-        if not return_aux:
-            return image
         final_T = assemble(T_tiles[..., None], 1)[..., 0]
-        tile_overflow = jnp.sum(
-            jnp.maximum(ranges_flat[:, 1] - ranges_flat[:, 0] - cap, 0)
-        ).astype(jnp.int32)
-        from .ops.rasterization import RasterAux
+        ordered = [image]
+        if want_maps:
+            if return_depth:
+                ordered.append(assemble(out[:, :, 6:7], 1)[..., 0])
+            if return_normals:
+                ordered.append(assemble(out[:, :, 3:6], 3))
+            if return_distortion:
+                m1 = assemble(out[:, :, 6:7], 1)[..., 0]
+                m2 = assemble(out[:, :, 7:8], 1)[..., 0]
+                alpha_map = 1.0 - final_T
+                ordered.append(2.0 * (alpha_map * m2 - m1 * m1))
+        if return_aux:
+            tile_overflow = jnp.sum(
+                jnp.maximum(ranges_flat[:, 1] - ranges_flat[:, 0] - cap, 0)
+            ).astype(jnp.int32)
+            from .ops.rasterization import RasterAux
 
-        return image, RenderAux(
-            binning=binning.aux,
-            raster=RasterAux(
-                final_transmittance=final_T, tile_overflow=tile_overflow
-            ),
-        )
+            ordered.append(RenderAux(
+                binning=binning.aux,
+                raster=RasterAux(
+                    final_transmittance=final_T,
+                    tile_overflow=tile_overflow,
+                ),
+            ))
+        return ordered[0] if len(ordered) == 1 else tuple(ordered)
 
     channels = [colors]
     if return_normals:
-        a, b = data[:, 3:6], data[:, 6:9]
-        n = jnp.cross(a, b)
-        n = n / jnp.maximum(jnp.linalg.norm(n, axis=-1, keepdims=True),
-                            1e-12)
-        # Orient toward the viewer (the paper flips by sign of n . dir).
-        n = jnp.where((n[:, 2:3] > 0), -n, n)
-        channels.append(n.astype(colors.dtype))
+        channels.append(oriented_normals().astype(colors.dtype))
     colors_ext = jnp.concatenate(channels, axis=-1)
     background_ext = jnp.concatenate(
         [background,

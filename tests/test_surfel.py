@@ -150,14 +150,70 @@ def test_surfel_alpha_data_shapes():
     np.testing.assert_allclose(np.asarray(d[0, 0:3]), [0.0, 0.0, 2.0])
 
 
-def test_surfel_pallas_maps_not_implemented():
-    # The Pallas surfel kernels render RGB+alpha; per-pixel maps need xla.
+def test_surfel_pallas_maps_forward_parity():
+    # The aux kernel variant (depth/normal/distortion maps) against the XLA
+    # oracle on identical inputs.
     cam = make_camera()
-    with pytest.raises(NotImplementedError):
-        render_surfels(
-            **one_surfel(), camera=cam, return_depth=True,
-            config=RenderConfig(raster_impl="pallas",
-                                pallas_interpret=True),
+    p = _random_surfel_scene(n=120, seed=9)
+    common = dict(
+        camera=cam, background_color=jnp.array([0.15, 0.05, 0.2]),
+        return_depth=True, return_normals=True, return_distortion=True,
+        return_aux=True,
+    )
+    out_x = render_surfels(
+        **p, **common, config=RenderConfig(tile_capacity=128, chunk_size=32)
+    )
+    out_p = render_surfels(
+        **p, **common,
+        config=RenderConfig(tile_capacity=128, chunk_size=32,
+                            raster_impl="pallas", pallas_interpret=True,
+                            pallas_chunk=32, pallas_tiles_per_step=2),
+    )
+    names = ("image", "depth", "normals", "distortion")
+    for name, a, b in zip(names, out_x[:4], out_p[:4]):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), atol=3e-5, err_msg=name
+        )
+    np.testing.assert_allclose(
+        np.asarray(out_p[4].raster.final_transmittance),
+        np.asarray(out_x[4].raster.final_transmittance),
+        atol=2e-6,
+    )
+
+
+def test_surfel_pallas_maps_gradient_parity():
+    # Gradients of a 2DGS-style training loss (image + depth + the two
+    # paper regularizer ingredients) through the aux kernels vs the oracle.
+    cam = make_camera()
+    p = _random_surfel_scene(n=70, seed=10)
+
+    def loss_for(impl):
+        cfg = RenderConfig(
+            tile_capacity=128, chunk_size=32, raster_impl=impl,
+            pallas_interpret=(impl == "pallas"), pallas_chunk=32,
+            pallas_tiles_per_step=2,
+        )
+
+        def loss(q):
+            img, depth, normals, dist = render_surfels(
+                q["means3d"], q["scales"], q["quats"], q["opacities"],
+                q["features"], cam, config=cfg,
+                background_color=jnp.array([0.1, 0.1, 0.1]),
+                return_depth=True, return_normals=True,
+                return_distortion=True,
+            )
+            return (jnp.mean(img**2) + 0.3 * jnp.mean(depth**2)
+                    + 0.2 * jnp.mean(normals * normals)
+                    + 0.5 * jnp.mean(dist))
+
+        return jax.grad(loss)(p)
+
+    gx = loss_for("xla")
+    gp = loss_for("pallas")
+    for k in gx:
+        np.testing.assert_allclose(
+            np.asarray(gp[k]), np.asarray(gx[k]), rtol=2e-3, atol=2e-6,
+            err_msg=k,
         )
 
 

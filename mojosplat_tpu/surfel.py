@@ -377,6 +377,8 @@ def render_surfels(
 def backproject_normals_from_depth(
     expected_depth: jax.Array,  # (H, W) expected depth (depth / alpha)
     camera: Camera,
+    row0=0,
+    ghost_rows=None,
 ) -> jax.Array:
     """(H, W, 3) camera-frame normals from the depth map's local geometry.
 
@@ -384,20 +386,84 @@ def backproject_normals_from_depth(
     takes the normalized cross product of the screen-space finite
     differences dp/dx x dp/dy — the "depth normal" side of the 2DGS paper's
     normal-consistency regularization. Oriented toward the viewer (n_z < 0).
+
+    ``row0``: absolute image row of the map's first row — pass the slab
+    offset when the map is a tile-row slab (parallel/sharding.py) so the
+    backprojected rays match the full-image geometry. May be traced.
+
+    ``ghost_rows``: optional ((W,), (W,)) expected-depth rows just above /
+    below this map — the halo a sharded caller fetched from its 'tile'-axis
+    neighbors (train.train_step_sharded_surfel ppermutes them over ICI), so
+    the y finite-difference stencil at slab boundaries sees the true
+    neighboring rows and sharded == single-device exactly. When absent (or
+    at the global image edges) reflective ghosts g = 2 p0 - p1 are
+    synthesized, which makes the centered difference reduce to the
+    one-sided edge difference of numpy-style gradient.
     """
     H, W = expected_depth.shape
-    xs = (jnp.arange(W, dtype=expected_depth.dtype) + 0.5 - camera.cx)
-    ys = (jnp.arange(H, dtype=expected_depth.dtype) + 0.5 - camera.cy)
+    d = expected_depth
+    top = 2.0 * d[0] - d[1] if ghost_rows is None else ghost_rows[0]
+    bot = 2.0 * d[-1] - d[-2] if ghost_rows is None else ghost_rows[1]
+    d_pad = jnp.concatenate([top[None, :], d, bot[None, :]], axis=0)
+    xs = (jnp.arange(W, dtype=d.dtype) + 0.5 - camera.cx)
+    ys = (jnp.arange(-1, H + 1, dtype=d.dtype) + 0.5
+          + jnp.asarray(row0, d.dtype) - camera.cy)
     xn = xs[None, :] / camera.fx
     yn = ys[:, None] / camera.fy
-    p = jnp.stack(
-        [expected_depth * xn, expected_depth * yn, expected_depth], axis=-1
-    )  # (H, W, 3)
-    dpdx = jnp.gradient(p, axis=1)
-    dpdy = jnp.gradient(p, axis=0)
+    p = jnp.stack([d_pad * xn, d_pad * yn, d_pad], axis=-1)  # (H+2, W, 3)
+    dpdx = jnp.gradient(p[1:-1], axis=1)
+    dpdy = 0.5 * (p[2:] - p[:-2])  # centered everywhere (ghost-padded)
     n = jnp.cross(dpdx, dpdy)
     n = n / jnp.maximum(jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-12)
     return jnp.where(n[..., 2:3] > 0, -n, n)
+
+
+def expected_depth_map(depth, final_transmittance, alpha_floor=0.5):
+    """(edepth, covered) with the double-where sanitization of the
+    normal-consistency pipeline: uncovered pixels get a dummy depth of 1 so
+    no division/normalize NaN is ever created. Exposed separately so the
+    sharded trainer can halo-exchange edepth's boundary rows before the
+    finite-difference stencil."""
+    alpha = 1.0 - final_transmittance
+    covered = alpha > alpha_floor
+    safe_a = jnp.where(covered, jnp.maximum(alpha, 1e-6), 1.0)
+    return jnp.where(covered, depth, 1.0) / safe_a, covered
+
+
+def normal_consistency_terms(
+    depth: jax.Array,  # (H, W) accumulated depth (premultiplied)
+    normal: jax.Array,  # (H, W, 3) accumulated normal (premultiplied)
+    final_transmittance: jax.Array,  # (H, W)
+    camera: Camera,
+    alpha_floor: float = 0.5,
+    row0=0,
+    ghost_rows=None,
+) -> tuple[jax.Array, jax.Array]:
+    """(numerator, denominator) of the normal-consistency regularizer —
+    the separable form for sharded training: each device computes its
+    slab's terms (``row0`` = slab offset, ``ghost_rows`` = halo-exchanged
+    neighbor edepth rows) and the loss is psum(num) / max(psum(den), 1)."""
+    alpha = 1.0 - final_transmittance
+    covered = alpha > alpha_floor
+    # Double-where input sanitization: at uncovered pixels the accumulated
+    # normal is exactly zero and normalize's backward is 0/0 — replace the
+    # INPUTS with a dummy unit vector there so no NaN is ever created (the
+    # w = 0 weight cannot cancel a NaN after the fact).
+    safe_a = jnp.where(covered, jnp.maximum(alpha, 1e-6), 1.0)
+    edepth = jnp.where(covered, depth, 1.0) / safe_a
+    unit_z = jnp.array([0.0, 0.0, -1.0], normal.dtype)
+    n_render = jnp.where(
+        covered[..., None], normal / safe_a[..., None], unit_z
+    )
+    n_render = n_render / jnp.maximum(
+        jnp.linalg.norm(n_render, axis=-1, keepdims=True), 1e-12
+    )
+    n_depth = backproject_normals_from_depth(
+        edepth, camera, row0=row0, ghost_rows=ghost_rows
+    )
+    w = jnp.where(covered, alpha, 0.0)
+    dots = jnp.sum(n_render * jax.lax.stop_gradient(n_depth), axis=-1)
+    return jnp.sum(w * (1.0 - dots)), jnp.sum(w)
 
 
 def normal_consistency_loss(
@@ -418,22 +484,7 @@ def normal_consistency_loss(
     so a single tilted surfel's interior already traces its tilt and the
     depth-backprojected normals agree with the surfel normals at any splat
     size (validated by test_normal_consistency_tilted_wall)."""
-    alpha = 1.0 - final_transmittance
-    covered = alpha > alpha_floor
-    # Double-where input sanitization: at uncovered pixels the accumulated
-    # normal is exactly zero and normalize's backward is 0/0 — replace the
-    # INPUTS with a dummy unit vector there so no NaN is ever created (the
-    # w = 0 weight cannot cancel a NaN after the fact).
-    safe_a = jnp.where(covered, jnp.maximum(alpha, 1e-6), 1.0)
-    edepth = jnp.where(covered, depth, 1.0) / safe_a
-    unit_z = jnp.array([0.0, 0.0, -1.0], normal.dtype)
-    n_render = jnp.where(
-        covered[..., None], normal / safe_a[..., None], unit_z
+    num, den = normal_consistency_terms(
+        depth, normal, final_transmittance, camera, alpha_floor
     )
-    n_render = n_render / jnp.maximum(
-        jnp.linalg.norm(n_render, axis=-1, keepdims=True), 1e-12
-    )
-    n_depth = backproject_normals_from_depth(edepth, camera)
-    w = jnp.where(covered, alpha, 0.0)
-    dots = jnp.sum(n_render * jax.lax.stop_gradient(n_depth), axis=-1)
-    return jnp.sum(w * (1.0 - dots)) / jnp.maximum(jnp.sum(w), 1.0)
+    return num / jnp.maximum(den, 1.0)

@@ -369,3 +369,128 @@ def train_step_sharded(
         state.params, state.opt_state, state.step, cameras, targets
     )
     return TrainState(params, opt_state, step), loss
+
+
+def train_step_sharded_surfel(
+    state: TrainState,
+    cameras: Camera,  # batched over leading axis B (sharded over 'data')
+    targets: jax.Array,  # (B, H, W, 3) (sharded over 'data' and rows-'tile')
+    optimizer: optax.GradientTransformation,
+    mesh: Mesh,
+    sh_degree: int | None = None,
+    config: RenderConfig = DEFAULT_CONFIG,
+    normal_weight: float = 0.0,
+    distortion_weight: float = 0.0,
+) -> tuple[TrainState, jax.Array]:
+    """2DGS (surfel) training step sharded over a ('data', 'tile') mesh,
+    with the paper's depth-distortion and normal-consistency regularizers
+    computed per tile-row slab and reduced over the mesh.
+
+    Each device renders its camera shard's slab WITH the per-pixel maps
+    (both raster impls serve them — the surfel Pallas aux kernels blend the
+    depth moments and normals in the same pass), computes local loss terms,
+    and psums them inside the differentiated function, so the quotient rule
+    of the normal-consistency ratio (psum num / psum den) is handled by AD;
+    parameter gradients are then psum'd and identical optax updates applied
+    to the replicated parameters.
+    """
+    from .surfel import (
+        expected_depth_map,
+        normal_consistency_terms,
+        render_surfels,
+    )
+
+    slab_h = check_slab_divisibility(cameras.H, mesh.shape["tile"], config)
+    n_tile = mesh.shape["tile"]
+    # ``targets`` here is the global batch (shard_map slices it), so its
+    # size is already the global element count.
+    npix_global = targets.size
+
+    def shard_fn(params, opt_state, step, cams, tgts):
+        ti = jax.lax.axis_index("tile")
+        row0 = ti * slab_h
+
+        def loss_fn(raw):
+            p = activate(raw)
+
+            def one(cam, tgt):
+                img, depth, normal, dist, aux = render_surfels(
+                    p["means3d"], p["scales"], p["quats"], p["opacities"],
+                    p["features"], cam, sh_degree=sh_degree, config=config,
+                    return_aux=True, return_depth=True, return_normals=True,
+                    return_distortion=True, viewport_rows=(row0, slab_h),
+                )
+                # Halo exchange: the normal-consistency stencil (y finite
+                # differences on the expected depth) needs one row of
+                # context from the neighboring slabs; one ppermute up + one
+                # down over ICI makes the sharded regularizer exactly equal
+                # to the single-device one. Global edges use the reflective
+                # ghosts backproject_normals_from_depth synthesizes.
+                ed, _ = expected_depth_map(
+                    depth, aux.raster.final_transmittance
+                )
+                ed = jax.lax.stop_gradient(ed)
+                recv_top = jax.lax.ppermute(
+                    ed[-1], "tile",
+                    [(i, i + 1) for i in range(n_tile - 1)],
+                )
+                recv_bot = jax.lax.ppermute(
+                    ed[0], "tile",
+                    [(i + 1, i) for i in range(n_tile - 1)],
+                )
+                ghost_top = jnp.where(
+                    ti == 0, 2.0 * ed[0] - ed[1], recv_top
+                )
+                ghost_bot = jnp.where(
+                    ti == n_tile - 1, 2.0 * ed[-1] - ed[-2], recv_bot
+                )
+                nc_num, nc_den = normal_consistency_terms(
+                    depth, normal, aux.raster.final_transmittance, cam,
+                    row0=row0, ghost_rows=(ghost_top, ghost_bot),
+                )
+                return (
+                    jnp.sum((img - tgt) ** 2),
+                    jnp.sum(dist),
+                    nc_num,
+                    nc_den,
+                )
+
+            photo, dist, nc_num, nc_den = jax.tree_util.tree_map(
+                jnp.sum, jax.vmap(one)(cams, tgts)
+            )
+            # Global reductions INSIDE the loss: AD differentiates through
+            # psum (its transpose broadcasts cotangents), so the ratio term
+            # gets the correct quotient-rule gradient across devices.
+            photo = jax.lax.psum(photo, ("data", "tile"))
+            dist = jax.lax.psum(dist, ("data", "tile"))
+            nc_num = jax.lax.psum(nc_num, ("data", "tile"))
+            nc_den = jax.lax.psum(nc_den, ("data", "tile"))
+            loss = photo / npix_global
+            if distortion_weight:
+                # Mean distortion over global pixels (B * H * W).
+                loss = loss + distortion_weight * dist / (npix_global // 3)
+            if normal_weight:
+                loss = loss + normal_weight * nc_num / jnp.maximum(
+                    nc_den, 1.0
+                )
+            return loss
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        # loss is already global; grads hold each device's local
+        # contribution to the replicated parameters.
+        grads = jax.lax.psum(grads, ("data", "tile"))
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, step + 1, loss
+
+    fn = shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(P(), P(), P(), P("data"), P("data", "tile")),
+        out_specs=(P(), P(), P(), P()),
+        check_vma=False,
+    )
+    params, opt_state, step, loss = fn(
+        state.params, state.opt_state, state.step, cameras, targets
+    )
+    return TrainState(params, opt_state, step), loss

@@ -232,3 +232,80 @@ def test_render_batch_sharded_surfels():
         np.testing.assert_allclose(
             np.asarray(imgs[i]), np.asarray(ref), atol=2e-5
         )
+
+
+def test_sharded_surfel_train_step_matches_single_device():
+    # train_step_sharded_surfel with both 2DGS regularizers vs a hand-built
+    # single-device step computing the identical global loss.
+    import optax
+
+    from mojosplat_tpu.surfel import (
+        normal_consistency_terms,
+        render_surfels,
+    )
+
+    B = 2
+    cams = batched_cameras(B, H=128)
+    rng = np.random.default_rng(21)
+    n = 48
+    raw = dict(
+        means3d=jnp.asarray(np.concatenate(
+            [rng.normal(0, 0.3, (n, 2)), rng.uniform(1.0, 3.0, (n, 1))],
+            axis=1).astype(np.float32)),
+        scales=jnp.asarray(rng.normal(-1.8, 0.2, (n, 2)).astype(np.float32)),
+        quats=jnp.asarray(rng.normal(0, 1, (n, 4)).astype(np.float32)),
+        opacities_raw=jnp.asarray(rng.normal(1.0, 0.5, n).astype(np.float32)),
+        features=jnp.asarray(rng.uniform(0, 1, (n, 3)).astype(np.float32)),
+    )
+    targets = jnp.asarray(
+        rng.uniform(0, 1, (B, 128, 64, 3)).astype(np.float32)
+    )
+    opt = optax.adam(1e-2)
+    nw, dw = 0.05, 0.01
+
+    mesh = make_mesh(2, 4)
+    state = mtrain.init_train_state(raw, opt)
+    new_state, loss = mtrain.train_step_sharded_surfel(
+        state, cams, targets, opt, mesh, config=CFG,
+        normal_weight=nw, distortion_weight=dw,
+    )
+
+    # Single-device reference: same loss on full images.
+    def loss_fn(params):
+        p = mtrain.activate(params)
+
+        def one(i):
+            cam = single_camera(cams, i)
+            img, depth, normal, dist, aux = render_surfels(
+                p["means3d"], p["scales"], p["quats"], p["opacities"],
+                p["features"], cam, config=CFG, return_aux=True,
+                return_depth=True, return_normals=True,
+                return_distortion=True,
+            )
+            num, den = normal_consistency_terms(
+                depth, normal, aux.raster.final_transmittance, cam
+            )
+            return (jnp.sum((img - targets[i]) ** 2), jnp.sum(dist),
+                    num, den)
+
+        terms = [one(i) for i in range(B)]
+        photo = sum(t[0] for t in terms)
+        dist = sum(t[1] for t in terms)
+        num = sum(t[2] for t in terms)
+        den = sum(t[3] for t in terms)
+        return (photo / targets.size + dw * dist / (targets.size // 3)
+                + nw * num / jnp.maximum(den, 1.0))
+
+    ref_loss, grads = jax.value_and_grad(loss_fn)(raw)
+    updates, _ = opt.update(grads, opt.init(raw), raw)
+    ref_params = optax.apply_updates(raw, updates)
+
+    np.testing.assert_allclose(float(loss), float(ref_loss), rtol=1e-5)
+    # Post-Adam params: near-zero gradients make Adam's m/(sqrt(v)+eps)
+    # amplify fp summation-order differences up to ~lr, so tolerance is in
+    # lr units (lr = 1e-2), not gradient units.
+    for k in ref_params:
+        np.testing.assert_allclose(
+            np.asarray(new_state.params[k]), np.asarray(ref_params[k]),
+            rtol=1e-3, atol=1e-3, err_msg=k,
+        )

@@ -30,7 +30,12 @@ import optax
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from mojosplat_tpu import Camera, RenderConfig, render_gaussians
+from mojosplat_tpu import (
+    Camera,
+    RenderConfig,
+    apply_pose_delta,
+    render_gaussians,
+)
 from mojosplat_tpu import train as mtrain
 from mojosplat_tpu.utils import save_gaussian_ply, save_png
 from mojosplat_tpu.utils import colmap as cm
@@ -87,6 +92,11 @@ def main():
     )
     ap.add_argument("--densify-every", type=int, default=100,
                     help="steps between MCMC relocation events")
+    ap.add_argument("--pose-opt", action="store_true",
+                    help="jointly refine camera poses: per-view se(3) "
+                    "deltas (apply_pose_delta) optimized with selective "
+                    "Adam, correcting COLMAP extrinsic noise")
+    ap.add_argument("--pose-lr", type=float, default=1e-4)
     args = ap.parse_args()
     os.makedirs(args.out_dir, exist_ok=True)
 
@@ -140,13 +150,21 @@ def main():
         mcfg = MCMCConfig()
         relocate_fn = jax.jit(functools.partial(mcmc_relocate, config=mcfg))
 
-    @functools.partial(jax.jit, donate_argnums=(0,))
-    def step_fn(st, cam, target, key):
-        def loss_fn(params):
+    # Pose refinement state: per-view se(3) deltas, stepped by selective
+    # Adam (only the view rendered this step has a nonzero gradient row;
+    # the others keep frozen moments).
+    pose_opt = mtrain.selective_adam(args.pose_lr)
+    pose_deltas = jnp.zeros((len(views), 6), jnp.float32)
+    pose_state = pose_opt.init(pose_deltas)
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
+    def step_fn(st, deltas, pstate, view_idx, cam, target, key):
+        def loss_fn(params, d):
             p = mtrain.activate(params)
+            c = apply_pose_delta(cam, d[view_idx]) if args.pose_opt else cam
             img = render_gaussians(
                 p["means3d"], p["scales"], p["quats"], p["opacities"],
-                p["features"], cam, sh_degree=args.sh_degree, config=config,
+                p["features"], c, sh_degree=args.sh_degree, config=config,
             )
             loss = mtrain.dssim_l1_loss(
                 img, target, ssim_weight=args.ssim_weight
@@ -155,16 +173,24 @@ def main():
                 loss = loss + mcmc_regularization(params, mcfg)
             return loss
 
-        loss, grads = jax.value_and_grad(loss_fn)(st.params)
+        loss, (grads, pose_grads) = jax.value_and_grad(
+            loss_fn, argnums=(0, 1)
+        )(st.params, deltas)
         updates, opt_state = optimizer.update(
             grads, st.opt_state, st.params
         )
         params = optax.apply_updates(st.params, updates)
+        if args.pose_opt:
+            pd, pstate = pose_opt.update(pose_grads, pstate, deltas)
+            deltas = optax.apply_updates(deltas, pd)
         if mcmc:
             # Exploration noise inside the jitted step (a separate dispatch
             # would cost ~30 ms on this machine's tunnel).
             params = mcmc_position_noise(params, key, args.lr, mcfg)
-        return mtrain.TrainState(params, opt_state, st.step + 1), loss
+        return (
+            mtrain.TrainState(params, opt_state, st.step + 1),
+            deltas, pstate, loss,
+        )
 
     @jax.jit
     def render_view(params, cam):
@@ -184,8 +210,9 @@ def main():
     losses = []
     for step in range(args.steps):
         i = int(rng.integers(n_views))
-        state, loss = step_fn(
-            state, cam_at(i), targets[i], jax.random.fold_in(base_key, step)
+        state, pose_deltas, pose_state, loss = step_fn(
+            state, pose_deltas, pose_state, jnp.int32(i), cam_at(i),
+            targets[i], jax.random.fold_in(base_key, step),
         )
         losses.append(loss)
         if mcmc and (step + 1) % args.densify_every == 0 \
@@ -212,7 +239,18 @@ def main():
     # Final artifacts: scene PLY + a rendered/target pair for view 0.
     save_gaussian_ply(os.path.join(args.out_dir, "scene_final.ply"),
                       jax.device_get(state.params))
-    img = np.asarray(render_view(state.params, cam_at(0)))
+    if args.pose_opt:
+        d = np.asarray(pose_deltas)
+        rot_deg = np.degrees(np.linalg.norm(d[:, :3], axis=-1))
+        trans = np.linalg.norm(d[:, 3:], axis=-1)
+        print(f"pose refinement: mean correction {rot_deg.mean():.4f} deg / "
+              f"{trans.mean():.5f} units (max {rot_deg.max():.4f} deg / "
+              f"{trans.max():.5f})")
+        np.save(os.path.join(args.out_dir, "pose_deltas.npy"), d)
+    cam0 = cam_at(0)
+    if args.pose_opt:
+        cam0 = apply_pose_delta(cam0, pose_deltas[0])
+    img = np.asarray(render_view(state.params, cam0))
     save_png(img, os.path.join(args.out_dir, "render_view0.png"))
     save_png(np.asarray(targets[0]),
              os.path.join(args.out_dir, "target_view0.png"))

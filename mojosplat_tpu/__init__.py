@@ -11,13 +11,14 @@ Brand-new implementation of the capability surface of bertaveira/mojosplat
   - multi-device sharding via jax.sharding / shard_map (no reference analogue).
 """
 
-from .camera import Camera, look_at
+from .camera import Camera, apply_pose_delta, look_at
 from .config import DEFAULT_CONFIG, RenderConfig
 from .render import RenderAux, render_gaussians
 from .surfel import render_surfels
 
 __all__ = [
     "Camera",
+    "apply_pose_delta",
     "look_at",
     "RenderConfig",
     "DEFAULT_CONFIG",

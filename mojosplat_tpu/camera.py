@@ -145,6 +145,52 @@ class Camera:
         return -jnp.einsum("...ji,...j->...i", self.R, self.T)
 
 
+def _rodrigues(omega: jax.Array) -> jax.Array:
+    """(..., 3) axis-angle -> (..., 3, 3) rotation, exact Rodrigues with a
+    Taylor switch at theta ~ 0 so the zero-rotation point is smooth under
+    autodiff (sin(t)/t and (1-cos(t))/t^2 are 0/0 there; the double-where
+    keeps the unselected branch's backward finite)."""
+    theta2 = jnp.sum(omega * omega, axis=-1)
+    small = theta2 < 1e-12
+    theta2_safe = jnp.where(small, 1.0, theta2)
+    theta = jnp.sqrt(theta2_safe)
+    a = jnp.where(small, 1.0 - theta2 / 6.0, jnp.sin(theta) / theta)
+    b = jnp.where(
+        small, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(theta)) / theta2_safe
+    )
+    wx, wy, wz = omega[..., 0], omega[..., 1], omega[..., 2]
+    O = jnp.zeros_like(wx)
+    K = jnp.stack(
+        [O, -wz, wy, wz, O, -wx, -wy, wx, O], axis=-1
+    ).reshape(omega.shape[:-1] + (3, 3))
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=omega.dtype), K.shape)
+    return (
+        eye + a[..., None, None] * K
+        + b[..., None, None] * jnp.einsum("...ij,...jk->...ik", K, K)
+    )
+
+
+def apply_pose_delta(camera: Camera, delta: jax.Array) -> Camera:
+    """Perturb world-to-camera extrinsics by a learnable se(3)-style delta.
+
+    ``delta``: (..., 6) = [omega (3, axis-angle), upsilon (3, translation)],
+    broadcasting against the camera's batch shape. The update is a left
+    perturbation of the world-to-camera map: R' = exp([omega]x) R,
+    T' = exp([omega]x) T + upsilon — at delta = 0 the camera is returned
+    bit-identically, and gradients through the Taylor-switched exponential
+    are exact there. This is the camera-pose-refinement module (gsplat's
+    pose-optimization adjustment, which the reference — forward-only —
+    cannot express); optimize deltas with train.selective_adam so views
+    absent from a batch keep frozen moments.
+    """
+    omega = delta[..., 0:3]
+    ups = delta[..., 3:6]
+    dR = _rodrigues(omega)
+    R = jnp.einsum("...ij,...jk->...ik", dR, camera.R)
+    T = jnp.einsum("...ij,...j->...i", dR, camera.T) + ups
+    return dataclasses.replace(camera, R=R, T=T)
+
+
 def look_at(eye, target, up) -> tuple[jax.Array, jax.Array]:
     """World-to-camera (R, T) for a camera at ``eye`` looking at ``target``.
 

@@ -127,10 +127,11 @@ def persp_proj(
     Returns (means2d (N,2), cov2d (N,2,2)).
     """
     tx, ty, tz = means_c[:, 0], means_c[:, 1], means_c[:, 2]
-    # Guard against division by zero for gaussians at/behind the camera plane;
-    # such gaussians are culled by the near-plane mask downstream, so the value
-    # here only needs to be finite.
-    tz_safe = jnp.where(jnp.abs(tz) < 1e-8, 1e-8, tz)
+    # Dummy z = 1 for at/behind-camera gaussians (culled by the near-plane
+    # mask downstream): a tiny-epsilon guard would leave 1/z^2 ~ 1e16
+    # factors that overflow the f32 conic math to inf and NaN the backward
+    # of whole-array reductions (see _fused_cov2d).
+    tz_safe = jnp.where(tz > 1e-3, tz, 1.0)
     tz2 = tz_safe * tz_safe
 
     tan_fovx = 0.5 * width / fx
@@ -238,7 +239,15 @@ def _fused_cov2d(means3d, scales, quats, camera):
         means2d = jnp.stack([fx * tx + cx, fy * ty + cy], axis=-1)
         return means2d, tz, c00, c01, c11
 
-    tz_safe = jnp.where(jnp.abs(tz) < 1e-8, 1e-8, tz)
+    # Input sanitization (double-where): lanes at/behind the camera plane
+    # are culled downstream by the near-plane mask (which reads the REAL
+    # tz returned below), but with only a 1e-8 division guard their
+    # 1/z^2 ~ 1e16 factor overflows the f32 conic products to inf, and the
+    # inf poisons every backward reduction that sums over all gaussians
+    # (camera-pose gradients most visibly: dead zero-padded slots sit at
+    # the origin, z = 0 exactly). Give those lanes a dummy z = 1 so every
+    # intermediate stays finite; 1e-3 matches the unscented path's floor.
+    tz_safe = jnp.where(tz > 1e-3, tz, 1.0)
     rz = 1.0 / tz_safe
     rz2 = rz * rz
 

@@ -59,8 +59,16 @@ def eval_sh(
             f"degree {degree} needs {needed} SH bases, got {sh_coeffs.shape[-2]}"
         )
 
-    norm = jnp.linalg.norm(dirs, axis=-1, keepdims=True)
-    d = dirs / jnp.maximum(norm, 1e-12)
+    # Double-where input sanitization: the backward of norm/normalize at
+    # dirs == 0 exactly is 0/0 = NaN, and a zero direction really occurs —
+    # dead zero-padded slots sit AT the camera origin. maximum() on the
+    # norm does not rescue the norm's own backward; replace the input with
+    # a dummy unit vector on those lanes instead.
+    n2 = jnp.sum(dirs * dirs, axis=-1, keepdims=True)
+    ok = n2 > 1e-24
+    dirs_safe = jnp.where(ok, dirs, jnp.array([0.0, 0.0, 1.0], dirs.dtype))
+    n2_safe = jnp.where(ok, n2, 1.0)
+    d = dirs_safe / jnp.sqrt(n2_safe)
     x, y, z = d[..., 0], d[..., 1], d[..., 2]  # (N,)
 
     # Evaluate the basis as one (N, K) matrix and contract once. The

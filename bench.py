@@ -33,7 +33,8 @@ from mojosplat_tpu import Camera, RenderConfig, render_gaussians
 from mojosplat_tpu import train as mtrain
 
 
-def build_loop(n, H, W, sh_degree, config, mode, iters, family="3dgs"):
+def build_loop(n, H, W, sh_degree, config, mode, iters, family="3dgs",
+               maps=False):
     camera = Camera.create(
         R=jnp.eye(3), T=jnp.zeros(3), H=H, W=W,
         fx=0.5 * W, fy=0.5 * W, cx=W / 2, cy=H / 2,
@@ -52,16 +53,38 @@ def build_loop(n, H, W, sh_degree, config, mode, iters, family="3dgs"):
         render = render_gaussians
 
     def forward(p, cam):
+        if maps:
+            # Full 2DGS output surface: rgb + intersection depth + normals
+            # + distortion map (the training configuration with the
+            # paper's regularizers), all from the aux kernel pass.
+            img, depth, normal, dist = render(
+                p["means3d"], p["scales"], p["quats"], p["opacities"],
+                p["features"], cam, sh_degree=sh_degree,
+                background_color=jnp.array([0.1, 0.1, 0.1]), config=config,
+                return_depth=True, return_normals=True,
+                return_distortion=True,
+            )
+            return (jnp.mean(img**2) + 1e-3 * jnp.mean(depth**2)
+                    + 1e-3 * jnp.mean(normal**2) + 1e-3 * jnp.mean(dist))
         return render(
             p["means3d"], p["scales"], p["quats"], p["opacities"],
             p["features"], cam, sh_degree=sh_degree,
             background_color=jnp.array([0.1, 0.1, 0.1]), config=config,
         )
 
+    def scalar(p, cam):
+        out = forward(p, cam)
+        # maps mode already returns the combined scalar loss; the plain
+        # mode keeps the historical reductions (sum fwd / mean-square
+        # fwdbwd) so metrics stay comparable across rounds.
+        if maps:
+            return out
+        return jnp.sum(out) if mode == "fwd" else jnp.mean(out**2)
+
     def one(p, cam):
         if mode == "fwd":
-            return jnp.sum(forward(p, cam))
-        g = jax.grad(lambda q: jnp.mean(forward(q, cam) ** 2))(p)
+            return scalar(p, cam)
+        g = jax.grad(lambda q: scalar(q, cam))(p)
         return sum(jnp.sum(v) for v in g.values())
 
     def loop(p, cam, iters):
@@ -129,6 +152,11 @@ def main():
         "name gets a _2dgs suffix)",
     )
     ap.add_argument(
+        "--maps", action="store_true",
+        help="2dgs only: render the full output surface (depth/normal/"
+        "distortion maps) through the aux kernels; metric suffix _maps",
+    )
+    ap.add_argument(
         "--bf16-grads", action=__import__("argparse").BooleanOptionalAction,
         default=True,
         help="route per-slot gradients in bf16 (bit-identical on TPU under "
@@ -152,7 +180,7 @@ def main():
     sh = args.sh_degree if args.sh_degree >= 0 else None
     fn, fn1, params, camera = build_loop(
         args.gaussians, args.height, args.width, sh, config, args.mode,
-        args.iters, family=args.family,
+        args.iters, family=args.family, maps=args.maps,
     )
 
     float(fn1(params, camera))  # compile
@@ -170,6 +198,7 @@ def main():
         f"pixels_per_s_{args.mode}_{args.gaussians // 1000}k_"
         f"{args.height}p_sh{args.sh_degree}"
         + ("_2dgs" if args.family == "2dgs" else "")
+        + ("_maps" if args.maps else "")
     )
     prev = previous_round_value(metric)
     vs_baseline = pixels_per_s / prev if prev else 1.0

@@ -97,6 +97,11 @@ def main():
                     "deltas (apply_pose_delta) optimized with selective "
                     "Adam, correcting COLMAP extrinsic noise")
     ap.add_argument("--pose-lr", type=float, default=1e-4)
+    ap.add_argument("--exposure-opt", action="store_true",
+                    help="per-view affine color correction "
+                    "(train.apply_exposure) absorbing auto-exposure/white-"
+                    "balance drift; optimized with selective Adam")
+    ap.add_argument("--exposure-lr", type=float, default=1e-3)
     args = ap.parse_args()
     os.makedirs(args.out_dir, exist_ok=True)
 
@@ -150,22 +155,34 @@ def main():
         mcfg = MCMCConfig()
         relocate_fn = jax.jit(functools.partial(mcmc_relocate, config=mcfg))
 
-    # Pose refinement state: per-view se(3) deltas, stepped by selective
-    # Adam (only the view rendered this step has a nonzero gradient row;
-    # the others keep frozen moments).
-    pose_opt = mtrain.selective_adam(args.pose_lr)
-    pose_deltas = jnp.zeros((len(views), 6), jnp.float32)
-    pose_state = pose_opt.init(pose_deltas)
+    # Per-view nuisance state (pose se(3) deltas, exposure affines),
+    # stepped by selective Adam with per-group learning rates: only the
+    # view rendered this step has a nonzero gradient row; the others keep
+    # frozen moments, and a disabled group's all-zero gradients freeze it
+    # entirely.
+    view_opt = optax.multi_transform(
+        {"pose": mtrain.selective_adam(args.pose_lr),
+         "expo": mtrain.selective_adam(args.exposure_lr)},
+        {"pose": "pose", "expo": "expo"},
+    )
+    view_params = {
+        "pose": jnp.zeros((len(views), 6), jnp.float32),
+        "expo": mtrain.identity_exposure(len(views)),
+    }
+    view_state = view_opt.init(view_params)
 
     @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
-    def step_fn(st, deltas, pstate, view_idx, cam, target, key):
-        def loss_fn(params, d):
+    def step_fn(st, vp, vstate, view_idx, cam, target, key):
+        def loss_fn(params, v):
             p = mtrain.activate(params)
-            c = apply_pose_delta(cam, d[view_idx]) if args.pose_opt else cam
+            c = (apply_pose_delta(cam, v["pose"][view_idx])
+                 if args.pose_opt else cam)
             img = render_gaussians(
                 p["means3d"], p["scales"], p["quats"], p["opacities"],
                 p["features"], c, sh_degree=args.sh_degree, config=config,
             )
+            if args.exposure_opt:
+                img = mtrain.apply_exposure(img, v["expo"][view_idx])
             loss = mtrain.dssim_l1_loss(
                 img, target, ssim_weight=args.ssim_weight
             )
@@ -173,23 +190,23 @@ def main():
                 loss = loss + mcmc_regularization(params, mcfg)
             return loss
 
-        loss, (grads, pose_grads) = jax.value_and_grad(
+        loss, (grads, view_grads) = jax.value_and_grad(
             loss_fn, argnums=(0, 1)
-        )(st.params, deltas)
+        )(st.params, vp)
         updates, opt_state = optimizer.update(
             grads, st.opt_state, st.params
         )
         params = optax.apply_updates(st.params, updates)
-        if args.pose_opt:
-            pd, pstate = pose_opt.update(pose_grads, pstate, deltas)
-            deltas = optax.apply_updates(deltas, pd)
+        if args.pose_opt or args.exposure_opt:
+            vd, vstate = view_opt.update(view_grads, vstate, vp)
+            vp = optax.apply_updates(vp, vd)
         if mcmc:
             # Exploration noise inside the jitted step (a separate dispatch
             # would cost ~30 ms on this machine's tunnel).
             params = mcmc_position_noise(params, key, args.lr, mcfg)
         return (
             mtrain.TrainState(params, opt_state, st.step + 1),
-            deltas, pstate, loss,
+            vp, vstate, loss,
         )
 
     @jax.jit
@@ -210,8 +227,8 @@ def main():
     losses = []
     for step in range(args.steps):
         i = int(rng.integers(n_views))
-        state, pose_deltas, pose_state, loss = step_fn(
-            state, pose_deltas, pose_state, jnp.int32(i), cam_at(i),
+        state, view_params, view_state, loss = step_fn(
+            state, view_params, view_state, jnp.int32(i), cam_at(i),
             targets[i], jax.random.fold_in(base_key, step),
         )
         losses.append(loss)
@@ -240,16 +257,22 @@ def main():
     save_gaussian_ply(os.path.join(args.out_dir, "scene_final.ply"),
                       jax.device_get(state.params))
     if args.pose_opt:
-        d = np.asarray(pose_deltas)
+        d = np.asarray(view_params["pose"])
         rot_deg = np.degrees(np.linalg.norm(d[:, :3], axis=-1))
         trans = np.linalg.norm(d[:, 3:], axis=-1)
         print(f"pose refinement: mean correction {rot_deg.mean():.4f} deg / "
               f"{trans.mean():.5f} units (max {rot_deg.max():.4f} deg / "
               f"{trans.max():.5f})")
         np.save(os.path.join(args.out_dir, "pose_deltas.npy"), d)
+    if args.exposure_opt:
+        e = np.asarray(view_params["expo"])
+        dev = np.abs(e - np.asarray(mtrain.identity_exposure(len(views))))
+        print(f"exposure refinement: mean |affine - identity| "
+              f"{dev.mean():.5f} (max {dev.max():.5f})")
+        np.save(os.path.join(args.out_dir, "exposure_affines.npy"), e)
     cam0 = cam_at(0)
     if args.pose_opt:
-        cam0 = apply_pose_delta(cam0, pose_deltas[0])
+        cam0 = apply_pose_delta(cam0, view_params["pose"][0])
     img = np.asarray(render_view(state.params, cam0))
     save_png(img, os.path.join(args.out_dir, "render_view0.png"))
     save_png(np.asarray(targets[0]),

@@ -494,3 +494,29 @@ def train_step_sharded_surfel(
         state.params, state.opt_state, state.step, cameras, targets
     )
     return TrainState(params, opt_state, step), loss
+
+
+def apply_exposure(image: jax.Array, affine: jax.Array) -> jax.Array:
+    """Per-view affine color correction: (H, W, 3) image, (3, 4) affine
+    [A | b] -> image @ A^T + b.
+
+    The exposure-compensation module for real captures with auto-exposure /
+    white-balance drift (the appearance-optimization capability of
+    contemporary 3DGS trainers): the correction absorbs per-view photometric
+    nuisance so the scene's SH colors converge to a consistent radiance.
+    Initialize to identity (train_colmap --exposure-opt optimizes per-view
+    matrices with selective Adam); at evaluation, render WITHOUT the
+    correction (or with the held-out view's identity) so metrics measure
+    the scene, not the nuisance fit.
+    """
+    return jnp.einsum(
+        "hwc,dc->hwd", image, affine[:, :3], precision="highest"
+    ) + affine[:, 3]
+
+
+def identity_exposure(n_views: int) -> jax.Array:
+    """(V, 3, 4) identity affines [I | 0] for apply_exposure."""
+    return jnp.tile(
+        jnp.concatenate([jnp.eye(3), jnp.zeros((3, 1))], axis=1),
+        (n_views, 1, 1),
+    )

@@ -161,6 +161,7 @@ def _fwd_kernel(counts_ref, pdata_ref, out_ref, thist_ref,
     tt = pl.program_id(0)
     eps = config.transmittance_eps
     cap = pdata_ref.shape[1] // tps
+    cp = pdata_ref.shape[0] - 6  # accumulated channels (>= _CCOLS)
 
     # Per-chunk incoming transmittance, sign-packed with the done latch
     # (T is always > 0): the residual the backward kernel replays instead of
@@ -177,7 +178,7 @@ def _fwd_kernel(counts_ref, pdata_ref, out_ref, thist_ref,
 
         t_s[...] = jnp.ones((P, 1), jnp.float32)
         done_s[...] = jnp.zeros((P, 1), jnp.float32)
-        acc_s[...] = jnp.zeros((P, _CCOLS), jnp.float32)
+        acc_s[...] = jnp.zeros((P, cp), jnp.float32)
 
         for k in range(cap // K):  # static unroll; static lane slices
             guard = (k * K < count) & (jnp.min(done_s[...]) == 0.0)
@@ -209,7 +210,7 @@ def _fwd_kernel(counts_ref, pdata_ref, out_ref, thist_ref,
                 excl = _lane_excl(cum, col, 1.0)
                 w = eff * t_in * excl  # (P, K)
 
-                cols_t = g[6:10, :]  # (4, K) rgb + zero pad row
+                cols_t = g[6:, :]  # (cp, K) channels (+ zero pad rows)
                 acc_s[...] = acc_s[...] + jax.lax.dot_general(
                     w, cols_t, (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32,
@@ -250,6 +251,7 @@ def _bwd_kernel(counts_ref, pdata_ref, gout_ref, thist_ref,
     tt = pl.program_id(0)
     eps = config.transmittance_eps
     cap = pdata_ref.shape[1] // tps
+    cp = pdata_ref.shape[0] - 6  # accumulated channels (>= _CCOLS)
     nchunks_max = cap // K
 
     dpdata_ref[...] = jnp.zeros_like(dpdata_ref)
@@ -263,8 +265,8 @@ def _bwd_kernel(counts_ref, pdata_ref, gout_ref, thist_ref,
         # (P, _OCOLS): 0..2 dL/drgb, 3 dL/daux (zero unless the caller
         # rendered the aux/depth channel), 4 dL/dT_final.
         gout = gout_ref[i, :, :]
-        v = gout[:, :_CCOLS]  # the accumulated-channel cotangents
-        gt_s[...] = gout[:, _CCOLS : _CCOLS + 1]
+        v = gout[:, :cp]  # the accumulated-channel cotangents
+        gt_s[...] = gout[:, cp : cp + 1]
 
         for k in reversed(range(nchunks_max)):
             th = thist_ref[i, :, k : k + 1]  # (P, 1) signed T_in
@@ -296,7 +298,7 @@ def _bwd_kernel(counts_ref, pdata_ref, gout_ref, thist_ref,
                 )
                 t_out = t_in * cum_last
 
-                cols_t = g[6:10, :]  # (4, K) rgb + zero pad row
+                cols_t = g[6:, :]  # (cp, K) channels (+ zero pad rows)
                 # cv[p, j] = sum_c v[p, c] * cols_t[c, j]
                 cv = jax.lax.dot_general(
                     v, cols_t, (((1,), (0,)), ((), ())),
@@ -309,7 +311,7 @@ def _bwd_kernel(counts_ref, pdata_ref, gout_ref, thist_ref,
                     v, w, (((0,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
                     precision=grad_precision,
-                )  # (4, K)
+                )  # (cp, K)
 
                 q = w * cv  # (P, K)
                 S = _lane_rev_cumsum_excl(q, col, K)
@@ -340,7 +342,7 @@ def _bwd_kernel(counts_ref, pdata_ref, gout_ref, thist_ref,
                         d_cols_t,
                     ],
                     axis=0,
-                )  # (10, K)
+                )  # (6 + cp, K)
                 sl0 = (i * nchunks_max + k) * K
                 dpdata_ref[:, sl0 : sl0 + K] = d_g
 
@@ -394,6 +396,8 @@ def _raster_fwd_call(pdata, counts, ts, tw, config):
         raise ValueError(f"tile_capacity {cap} % pallas_chunk {K} != 0")
     pdata, counts, n_pad = _pad_tiles(pdata, counts, cap, tps)
     nc = cap // K
+    rows = pdata.shape[0]
+    oc = rows - 6 + 1  # accumulated channels + transmittance
 
     kernel = functools.partial(
         _fwd_kernel, K=K, P=P, ts=ts, tw=tw, tps=tps, config=config
@@ -402,23 +406,23 @@ def _raster_fwd_call(pdata, counts, ts, tw, config):
         num_scalar_prefetch=1,
         grid=(n_pad // tps,),
         in_specs=[
-            pl.BlockSpec((_PROWS, tps * cap), lambda t, c: (0, t)),
+            pl.BlockSpec((rows, tps * cap), lambda t, c: (0, t)),
         ],
         out_specs=[
-            pl.BlockSpec((tps, P, _OCOLS), lambda t, c: (t, 0, 0)),
+            pl.BlockSpec((tps, P, oc), lambda t, c: (t, 0, 0)),
             pl.BlockSpec((tps, P, nc), lambda t, c: (t, 0, 0)),
         ],
         scratch_shapes=[
             pltpu.VMEM((P, 1), jnp.float32),  # t_s
             pltpu.VMEM((P, 1), jnp.float32),  # done_s
-            pltpu.VMEM((P, _CCOLS), jnp.float32),  # acc_s
+            pltpu.VMEM((P, rows - 6), jnp.float32),  # acc_s
         ],
     )
     out, thist = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((n_pad, P, _OCOLS), jnp.float32),
+            jax.ShapeDtypeStruct((n_pad, P, oc), jnp.float32),
             jax.ShapeDtypeStruct((n_pad, P, nc), jnp.float32),
         ],
         interpret=config.pallas_interpret,
@@ -440,6 +444,8 @@ def _raster_bwd_rule(ts, tw, config, residuals, gout):
     tps = config.pallas_tiles_per_step
     pdata, counts, n_pad = _pad_tiles(pdata, counts, cap, tps)
     nc = cap // K
+    rows = pdata.shape[0]
+    oc = rows - 6 + 1
     if n_pad != n_tiles:
         gout = jnp.pad(gout, ((0, n_pad - n_tiles), (0, 0), (0, 0)))
     # thist comes from the forward already padded to n_pad.
@@ -451,11 +457,11 @@ def _raster_bwd_rule(ts, tw, config, residuals, gout):
         num_scalar_prefetch=1,
         grid=(n_pad // tps,),
         in_specs=[
-            pl.BlockSpec((_PROWS, tps * cap), lambda t, c: (0, t)),
-            pl.BlockSpec((tps, P, _OCOLS), lambda t, c: (t, 0, 0)),
+            pl.BlockSpec((rows, tps * cap), lambda t, c: (0, t)),
+            pl.BlockSpec((tps, P, oc), lambda t, c: (t, 0, 0)),
             pl.BlockSpec((tps, P, nc), lambda t, c: (t, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((_PROWS, tps * cap), lambda t, c: (0, t)),
+        out_specs=pl.BlockSpec((rows, tps * cap), lambda t, c: (0, t)),
         scratch_shapes=[
             pltpu.VMEM((P, 1), jnp.float32),  # gt_s
         ],
@@ -463,7 +469,7 @@ def _raster_bwd_rule(ts, tw, config, residuals, gout):
     d_pdata = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((_PROWS, n_pad * cap), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((rows, n_pad * cap), jnp.float32),
         interpret=config.pallas_interpret,
     )(counts, pdata, gout, thist)
     d_pdata = d_pdata[:, : n_tiles * cap]
@@ -647,20 +653,21 @@ def gather_tile_data(means2d, conics, colors, opacities, slot_gids,
     """
     N = means2d.shape[0]
     C = colors.shape[-1]
-    if C > _PROWS - 6:
-        raise ValueError(
-            f"at most {_PROWS - 6} blend channels (rgb + aux), got {C}"
-        )
+    # Channel count is free up to the default 4 (the kernels blend whatever
+    # rows follow the 6 geometry fields); wider feature maps (gsplat's N-D
+    # channels, e.g. semantic/feature splatting) just pack more rows — the
+    # MXU blend matmul widens with them.
+    cp = max(_PROWS - 6, C)
     packed = jnp.concatenate(
         [
             means2d.astype(jnp.float32),
             conics.astype(jnp.float32),
             opacities.astype(jnp.float32)[:, None],
             colors.astype(jnp.float32),
-            jnp.zeros((N, _PROWS - 6 - C), jnp.float32),
+            jnp.zeros((N, cp - C), jnp.float32),
         ],
         axis=-1,
-    )  # (N, 10): x, y, ca, cb, cc, op, r, g, b, aux-or-0
+    )  # (N, 6 + cp): x, y, ca, cb, cc, op, then the blend channels
     safe = jnp.clip(slot_gids.reshape(-1), 0, N - 1)
     # No validity masking: invalid (-1 padding) slots only exist past each
     # tile's count, and the kernels' count guard never reads them.

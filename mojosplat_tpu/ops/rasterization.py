@@ -215,7 +215,7 @@ def rasterize_gaussians(
             absgrad_sink=absgrad_sink,
         )
         out = raster_tiles_pallas(pdata, counts, ts, tw, config)
-        T_tiles = out[:, :, 4]
+        T_tiles = out[:, :, max(4, C)]  # transmittance follows the channels
         out_tiles = (
             out[:, :, :C] + T_tiles[:, :, None] * background[None, None, :]
         ).astype(dtype)

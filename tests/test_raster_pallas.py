@@ -147,3 +147,37 @@ class TestSegmentSum:
         out = segment_sum_rows(rows, key, N, interpret=True)
         assert jnp.allclose(out[123], 50.0)
         assert float(jnp.sum(jnp.abs(out))) == pytest.approx(100.0 * 0.5 * F)
+
+
+def test_nd_feature_channels_parity():
+    # gsplat-style N-D channel rendering: the kernels blend arbitrary
+    # per-gaussian channel vectors (feature splatting), not just rgb+aux.
+    import jax.numpy as jnp
+    import numpy as np
+
+    params, camera = make_scene(n=100, seed=3)
+    C = 9
+    feats = jax.random.normal(jax.random.PRNGKey(8), (100, C)) * 0.3
+    bg = jnp.linspace(0.0, 1.0, C)
+
+    def render_feats(config, f):
+        return render_gaussians(
+            params["means3d"], params["scales"], params["quats"],
+            params["opacities"], f, camera, background_color=bg,
+            config=config,
+        )
+
+    img_x = render_feats(CFG_XLA, feats)
+    img_p = render_feats(CFG_PALLAS, feats)
+    assert img_p.shape == (32, 48, C)
+    np.testing.assert_allclose(
+        np.asarray(img_p), np.asarray(img_x), atol=3e-5
+    )
+
+    gx = jax.grad(lambda f: jnp.mean(render_feats(CFG_XLA, f) ** 2))(feats)
+    gp = jax.grad(lambda f: jnp.mean(render_feats(CFG_PALLAS, f) ** 2))(
+        feats
+    )
+    np.testing.assert_allclose(
+        np.asarray(gp), np.asarray(gx), rtol=1e-4, atol=1e-7
+    )

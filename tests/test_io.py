@@ -181,3 +181,19 @@ def test_surfel_ply_round_trip(tmp_path):
     assert q["scales"].shape == (32, 2)
     np.testing.assert_allclose(q["scales"], p["scales"], rtol=1e-6)
     np.testing.assert_allclose(q["means3d"], p["means3d"], rtol=1e-6)
+
+
+def test_encode_png_roundtrip():
+    # The in-memory PNG encoder behind the web viewer (examples/viewer.py).
+    from PIL import Image
+    import io as _io
+
+    from mojosplat_tpu.utils.image import encode_png
+
+    rng = np.random.default_rng(4)
+    arr = rng.integers(0, 255, (20, 31, 3), dtype=np.uint8)
+    back = np.asarray(Image.open(_io.BytesIO(encode_png(arr))))
+    np.testing.assert_array_equal(back, arr)
+    gray = rng.integers(0, 255, (7, 9), dtype=np.uint8)
+    back_g = np.asarray(Image.open(_io.BytesIO(encode_png(gray))))
+    np.testing.assert_array_equal(back_g, gray)

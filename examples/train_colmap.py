@@ -18,6 +18,7 @@ Expects the INRIA layout: <data>/images/*.{png,jpg} and
 from __future__ import annotations
 
 import argparse
+import dataclasses
 import functools
 import os
 import sys
@@ -102,6 +103,11 @@ def main():
                     "(train.apply_exposure) absorbing auto-exposure/white-"
                     "balance drift; optimized with selective Adam")
     ap.add_argument("--exposure-lr", type=float, default=1e-3)
+    ap.add_argument("--intrinsics-opt", action="store_true",
+                    help="refine per-view intrinsics: (log-focal x/y, "
+                    "principal point x/y) deltas — self-calibration for "
+                    "imprecise COLMAP intrinsics")
+    ap.add_argument("--intrinsics-lr", type=float, default=1e-4)
     args = ap.parse_args()
     os.makedirs(args.out_dir, exist_ok=True)
 
@@ -162,12 +168,14 @@ def main():
     # entirely.
     view_opt = optax.multi_transform(
         {"pose": mtrain.selective_adam(args.pose_lr),
-         "expo": mtrain.selective_adam(args.exposure_lr)},
-        {"pose": "pose", "expo": "expo"},
+         "expo": mtrain.selective_adam(args.exposure_lr),
+         "intr": mtrain.selective_adam(args.intrinsics_lr)},
+        {"pose": "pose", "expo": "expo", "intr": "intr"},
     )
     view_params = {
         "pose": jnp.zeros((len(views), 6), jnp.float32),
         "expo": mtrain.identity_exposure(len(views)),
+        "intr": jnp.zeros((len(views), 4), jnp.float32),
     }
     view_state = view_opt.init(view_params)
 
@@ -177,6 +185,12 @@ def main():
             p = mtrain.activate(params)
             c = (apply_pose_delta(cam, v["pose"][view_idx])
                  if args.pose_opt else cam)
+            if args.intrinsics_opt:
+                di = v["intr"][view_idx]
+                c = dataclasses.replace(
+                    c, fx=c.fx * jnp.exp(di[0]), fy=c.fy * jnp.exp(di[1]),
+                    cx=c.cx + di[2], cy=c.cy + di[3],
+                )
             img = render_gaussians(
                 p["means3d"], p["scales"], p["quats"], p["opacities"],
                 p["features"], c, sh_degree=args.sh_degree, config=config,
@@ -197,7 +211,7 @@ def main():
             grads, st.opt_state, st.params
         )
         params = optax.apply_updates(st.params, updates)
-        if args.pose_opt or args.exposure_opt:
+        if args.pose_opt or args.exposure_opt or args.intrinsics_opt:
             vd, vstate = view_opt.update(view_grads, vstate, vp)
             vp = optax.apply_updates(vp, vd)
         if mcmc:
@@ -270,6 +284,12 @@ def main():
         print(f"exposure refinement: mean |affine - identity| "
               f"{dev.mean():.5f} (max {dev.max():.5f})")
         np.save(os.path.join(args.out_dir, "exposure_affines.npy"), e)
+    if args.intrinsics_opt:
+        di = np.asarray(view_params["intr"])
+        print(f"intrinsics refinement: mean |dlog f| "
+              f"{np.abs(di[:, :2]).mean():.5f}, mean |dc| "
+              f"{np.abs(di[:, 2:]).mean():.4f} px")
+        np.save(os.path.join(args.out_dir, "intrinsics_deltas.npy"), di)
     cam0 = cam_at(0)
     if args.pose_opt:
         cam0 = apply_pose_delta(cam0, view_params["pose"][0])

@@ -18,6 +18,7 @@ import time
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -45,6 +46,8 @@ def main():
     ap.add_argument("--ply", default=None)
     ap.add_argument("--sh-degree", type=int, default=None)
     ap.add_argument("--out-dir", default="output/orbit")
+    ap.add_argument("--gif", action="store_true",
+                    help="also write an animated orbit.gif of the frames")
     args = ap.parse_args()
     os.makedirs(args.out_dir, exist_ok=True)
 
@@ -77,6 +80,7 @@ def main():
         )
 
     t_first = None
+    frames = []
     t0 = time.perf_counter()
     for i in range(args.frames):
         cam = orbit_camera(
@@ -85,6 +89,9 @@ def main():
         )
         img = render(p, cam)
         save_png(img, os.path.join(args.out_dir, f"frame_{i:03d}.png"))
+        if args.gif:
+            frames.append(np.asarray(
+                jnp.clip(img, 0.0, 1.0) * 255).astype("uint8"))
         if i == 0:
             t_first = time.perf_counter() - t0
     dt = time.perf_counter() - t0
@@ -95,6 +102,14 @@ def main():
         f"{steady * 1e3:.0f} ms/frame ({1.0 / steady:.1f} fps incl. PNG IO; "
         f"one compiled executable for all views)"
     )
+    if args.gif:
+        from PIL import Image
+
+        ims = [Image.fromarray(f) for f in frames]
+        gif = os.path.join(args.out_dir, "orbit.gif")
+        ims[0].save(gif, save_all=True, append_images=ims[1:],
+                    duration=80, loop=0)
+        print(f"wrote {gif}")
 
 
 if __name__ == "__main__":

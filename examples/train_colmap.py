@@ -108,6 +108,11 @@ def main():
                     "principal point x/y) deltas — self-calibration for "
                     "imprecise COLMAP intrinsics")
     ap.add_argument("--intrinsics-lr", type=float, default=1e-4)
+    ap.add_argument("--ckpt-every", type=int, default=0,
+                    help="save an Orbax checkpoint (train state + view "
+                    "nuisance params) every N steps")
+    ap.add_argument("--resume", action="store_true",
+                    help="resume from <out-dir>/ckpt if present")
     args = ap.parse_args()
     os.makedirs(args.out_dir, exist_ok=True)
 
@@ -179,6 +184,35 @@ def main():
     }
     view_state = view_opt.init(view_params)
 
+    ckpt_dir = os.path.join(os.path.abspath(args.out_dir), "ckpt")
+    start_step = 0
+    if args.resume and os.path.isdir(ckpt_dir):
+        from mojosplat_tpu.utils.checkpoint import restore_checkpoint
+
+        bundle = restore_checkpoint(
+            ckpt_dir,
+            like=dict(state=state, view_params=view_params,
+                      view_state=view_state),
+        )
+        state = mtrain.TrainState(*bundle["state"])
+        view_params = bundle["view_params"]
+        view_state = bundle["view_state"]
+        start_step = int(state.step)
+        print(f"  resumed from {ckpt_dir} at step {start_step}")
+
+    def save_ckpt():
+        from mojosplat_tpu.utils.checkpoint import save_checkpoint
+        import shutil
+
+        tmp = ckpt_dir + ".tmp"
+        if os.path.isdir(tmp):
+            shutil.rmtree(tmp)
+        save_checkpoint(tmp, dict(state=state, view_params=view_params,
+                                  view_state=view_state))
+        if os.path.isdir(ckpt_dir):
+            shutil.rmtree(ckpt_dir)
+        os.rename(tmp, ckpt_dir)
+
     @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
     def step_fn(st, vp, vstate, view_idx, cam, target, key):
         def loss_fn(params, v):
@@ -239,7 +273,7 @@ def main():
     base_key = jax.random.PRNGKey(17)
     t0 = time.perf_counter()
     losses = []
-    for step in range(args.steps):
+    for step in range(start_step, args.steps):
         i = int(rng.integers(n_views))
         state, view_params, view_state, loss = step_fn(
             state, view_params, view_state, jnp.int32(i), cam_at(i),
@@ -266,6 +300,9 @@ def main():
             ply = os.path.join(args.out_dir, f"scene_{step + 1:06d}.ply")
             save_gaussian_ply(ply, jax.device_get(state.params))
             print(f"  saved {ply}")
+        if args.ckpt_every and (step + 1) % args.ckpt_every == 0:
+            save_ckpt()
+            print(f"  checkpointed step {step + 1} -> {ckpt_dir}")
 
     # Final artifacts: scene PLY + a rendered/target pair for view 0.
     save_gaussian_ply(os.path.join(args.out_dir, "scene_final.ply"),

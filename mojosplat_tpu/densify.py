@@ -372,9 +372,14 @@ def mcmc_position_noise(
     )
     R = _quat_to_rotmat(quats)
     z = jax.random.normal(key, (n, 3))
-    sample = jnp.einsum(
-        "nij,nj->ni", R, jnp.exp(params["scales"]) * z
-    )  # ~ N(0, R S^2 R^T)
+    s = jnp.exp(params["scales"])
+    if s.shape[-1] < 3:
+        # Surfel (2DGS) parameterization: pad the missing thickness axis
+        # with ~zero so exploration noise stays in the disk plane.
+        s = jnp.pad(
+            s, ((0, 0), (0, 3 - s.shape[-1])), constant_values=1e-6
+        )
+    sample = jnp.einsum("nij,nj->ni", R, s * z)  # ~ N(0, R S^2 R^T)
     step = jnp.asarray(lr) * config.noise_lr * gate
     out = dict(params)
     out["means3d"] = params["means3d"] + step[:, None] * sample

@@ -285,3 +285,73 @@ def test_reset_opacities():
         np.asarray(out["opacities_raw"])[[3, 5, 7]],
         np.asarray(p["opacities_raw"])[[3, 5, 7]],
     )
+
+
+def surfel_raw(n=12, seed=3):
+    """Raw 2DGS-parameterized gaussians: (N, 2) scales."""
+    rng = np.random.default_rng(seed)
+    return dict(
+        means3d=jnp.asarray(np.concatenate(
+            [rng.normal(0, 0.3, (n, 2)), rng.uniform(1.5, 3.0, (n, 1))],
+            axis=1).astype(np.float32)),
+        scales=jnp.asarray(rng.normal(-1.8, 0.3, (n, 2)).astype(np.float32)),
+        quats=jnp.asarray(rng.normal(0, 1, (n, 4)).astype(np.float32)),
+        opacities_raw=jnp.asarray(
+            rng.normal(1.0, 0.5, n).astype(np.float32)),
+        features=jnp.asarray(rng.uniform(0, 1, (n, 3)).astype(np.float32)),
+    )
+
+
+class TestSurfelDensityControl:
+    """Both density-control families on the 2DGS (N, 2)-scales
+    parameterization — shapes stay static, no NaNs, slots conserved."""
+
+    def test_adc_densify_and_prune_surfels(self):
+        p = pad_to_capacity(surfel_raw(), 16)
+        state = DensifyState.zero(16)
+        # Pretend every live surfel accumulated a hot gradient.
+        state = DensifyState(
+            grad_accum=jnp.full((16,), 1.0), count=jnp.ones((16,), jnp.int32)
+        )
+        new_p, new_state, metrics = densify_and_prune(
+            p, state, jax.random.PRNGKey(0), scene_extent=2.0
+        )
+        for k in p:
+            assert new_p[k].shape == p[k].shape, k
+            assert bool(jnp.all(jnp.isfinite(new_p[k]))), k
+        assert int(metrics["alive"]) >= 12
+
+    def test_mcmc_relocate_and_noise_surfels(self):
+        from mojosplat_tpu.densify import (
+            mcmc_position_noise,
+            mcmc_regularization,
+            mcmc_relocate,
+        )
+
+        p = pad_to_capacity(surfel_raw(), 16)
+        new_p, metrics = mcmc_relocate(p, jax.random.PRNGKey(2))
+        for k in p:
+            assert new_p[k].shape == p[k].shape, k
+            assert bool(jnp.all(jnp.isfinite(new_p[k]))), k
+        # Low-opacity rows are the ones the SGLD gate lets wander; make a
+        # few so the noise actually fires.
+        new_p = dict(new_p)
+        new_p["opacities_raw"] = new_p["opacities_raw"].at[:4].set(-3.0)
+        noised = mcmc_position_noise(new_p, jax.random.PRNGKey(3), 1e-2)
+        assert noised["means3d"].shape == (16, 3)
+        assert bool(jnp.all(jnp.isfinite(noised["means3d"])))
+        # Noise must stay ~in the disk plane: displacement along the surfel
+        # normal is ~1e-6-scaled.
+        disp = np.asarray(noised["means3d"] - new_p["means3d"])
+        from mojosplat_tpu.densify import _quat_to_rotmat
+
+        q = new_p["quats"] / jnp.linalg.norm(
+            new_p["quats"], axis=-1, keepdims=True
+        )
+        R = np.asarray(_quat_to_rotmat(q))
+        along_normal = np.abs(np.einsum("nd,nd->n", disp, R[:, :, 2]))
+        mag = np.linalg.norm(disp, axis=-1)
+        moved = mag > 1e-6  # opaque surfels are noise-gated to ~zero
+        assert moved.any()
+        assert float((along_normal[moved] / mag[moved]).max()) < 1e-3
+        assert np.isfinite(float(mcmc_regularization(new_p)))

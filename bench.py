@@ -163,6 +163,8 @@ def main():
         "excess-precision rules, ~3%% faster backward)",
     )
     args = ap.parse_args()
+    if args.maps and args.family != "2dgs":
+        ap.error("--maps requires --family 2dgs")
     if args.preset is not None:
         for k, v in PRESETS[args.preset].items():
             setattr(args, k.replace("-", "_"), v)

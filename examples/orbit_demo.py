@@ -49,6 +49,8 @@ def main():
     ap.add_argument("--gif", action="store_true",
                     help="also write an animated orbit.gif of the frames")
     args = ap.parse_args()
+    if args.gif:
+        import PIL  # noqa: F401  fail fast, before minutes of rendering
     os.makedirs(args.out_dir, exist_ok=True)
 
     sh_degree = args.sh_degree

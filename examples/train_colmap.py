@@ -330,6 +330,12 @@ def main():
     cam0 = cam_at(0)
     if args.pose_opt:
         cam0 = apply_pose_delta(cam0, view_params["pose"][0])
+    if args.intrinsics_opt:
+        di = view_params["intr"][0]
+        cam0 = dataclasses.replace(
+            cam0, fx=cam0.fx * jnp.exp(di[0]), fy=cam0.fy * jnp.exp(di[1]),
+            cx=cam0.cx + di[2], cy=cam0.cy + di[3],
+        )
     img = np.asarray(render_view(state.params, cam0))
     save_png(img, os.path.join(args.out_dir, "render_view0.png"))
     save_png(np.asarray(targets[0]),

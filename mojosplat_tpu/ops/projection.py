@@ -121,6 +121,7 @@ def persp_proj(
     cy,
     width: int,
     height: int,
+    near=0.1,
 ) -> tuple[jax.Array, jax.Array]:
     """Perspective EWA projection (projection.py:105-160).
 
@@ -131,7 +132,7 @@ def persp_proj(
     # mask downstream): a tiny-epsilon guard would leave 1/z^2 ~ 1e16
     # factors that overflow the f32 conic math to inf and NaN the backward
     # of whole-array reductions (see _fused_cov2d).
-    tz_safe = jnp.where(tz > 1e-3, tz, 1.0)
+    tz_safe = jnp.where(tz > jnp.minimum(1e-3, near), tz, 1.0)
     tz2 = tz_safe * tz_safe
 
     tan_fovx = 0.5 * width / fx
@@ -246,8 +247,11 @@ def _fused_cov2d(means3d, scales, quats, camera):
     # inf poisons every backward reduction that sums over all gaussians
     # (camera-pose gradients most visibly: dead zero-padded slots sit at
     # the origin, z = 0 exactly). Give those lanes a dummy z = 1 so every
-    # intermediate stays finite; 1e-3 matches the unscented path's floor.
-    tz_safe = jnp.where(tz > 1e-3, tz, 1.0)
+    # intermediate stays finite; 1e-3 matches the unscented path's floor,
+    # lowered to camera.near when the user sets a nearer plane so every
+    # non-culled gaussian still projects with its real depth.
+    z_floor = jnp.minimum(jnp.asarray(1e-3, tz.dtype), camera.near)
+    tz_safe = jnp.where(tz > z_floor, tz, 1.0)
     rz = 1.0 / tz_safe
     rz2 = rz * rz
 

@@ -444,13 +444,16 @@ def normal_consistency_terms(
     slab's terms (``row0`` = slab offset, ``ghost_rows`` = halo-exchanged
     neighbor edepth rows) and the loss is psum(num) / max(psum(den), 1)."""
     alpha = 1.0 - final_transmittance
-    covered = alpha > alpha_floor
-    # Double-where input sanitization: at uncovered pixels the accumulated
+    # One shared sanitization (expected_depth_map) so the halo rows the
+    # sharded trainer exchanges are computed by the SAME code path as the
+    # in-slab values. Double-where: at uncovered pixels the accumulated
     # normal is exactly zero and normalize's backward is 0/0 — replace the
     # INPUTS with a dummy unit vector there so no NaN is ever created (the
     # w = 0 weight cannot cancel a NaN after the fact).
+    edepth, covered = expected_depth_map(
+        depth, final_transmittance, alpha_floor
+    )
     safe_a = jnp.where(covered, jnp.maximum(alpha, 1e-6), 1.0)
-    edepth = jnp.where(covered, depth, 1.0) / safe_a
     unit_z = jnp.array([0.0, 0.0, -1.0], normal.dtype)
     n_render = jnp.where(
         covered[..., None], normal / safe_a[..., None], unit_z

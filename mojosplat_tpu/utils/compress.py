@@ -120,6 +120,11 @@ def compress_scene(
 
     Returns a stats dict: {"bytes", "raw_bytes", "ratio", "n", "sh_k"}.
     """
+    if sh_codebook_size is not None and not 1 <= sh_codebook_size <= 65536:
+        raise ValueError(
+            f"sh_codebook_size must be in [1, 65536] (uint16 indices), "
+            f"got {sh_codebook_size}"
+        )
     rng = np.random.default_rng(seed)
     means = np.asarray(params["means3d"], np.float32)
     scales = np.asarray(params["scales"], np.float32)

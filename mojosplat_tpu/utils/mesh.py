@@ -68,14 +68,17 @@ def tsdf_fuse(
         trunc = 4.0 * float(spacing.max())
 
     axes = [
-        jnp.asarray(lo[i] + spacing[i] * np.arange(resolution, dtype=np.float32))
+        lo[i] + spacing[i] * np.arange(resolution, dtype=np.float32)
         for i in range(3)
     ]
-    gx, gy, gz = jnp.meshgrid(*axes, indexing="ij")
-    pts = jnp.stack([gx, gy, gz], axis=-1).reshape(-1, 3)  # (V, 3)
+    gx, gy, gz = np.meshgrid(*axes, indexing="ij")
+    # numpy, passed as a jit ARGUMENT: a closure-captured pre-existing
+    # device array would permanently knock this machine's TPU backend off
+    # its fast dispatch path (repo CLAUDE.md machine rules).
+    pts_np = np.stack([gx, gy, gz], axis=-1).reshape(-1, 3)
 
     @jax.jit
-    def fuse_one(acc_t, acc_w, depth, alpha, R, T, fx, fy, cx, cy):
+    def fuse_one(pts, acc_t, acc_w, depth, alpha, R, T, fx, fy, cx, cy):
         pc = pts @ R.T + T  # (V, 3) camera frame
         z = pc[:, 2]
         z_safe = jnp.where(z > 1e-6, z, 1.0)
@@ -109,11 +112,11 @@ def tsdf_fuse(
         w = valid.astype(jnp.float32)
         return acc_t + w * t, acc_w + w
 
-    acc_t = jnp.zeros((pts.shape[0],), jnp.float32)
-    acc_w = jnp.zeros((pts.shape[0],), jnp.float32)
+    acc_t = jnp.zeros((pts_np.shape[0],), jnp.float32)
+    acc_w = jnp.zeros((pts_np.shape[0],), jnp.float32)
     for depth, alpha, cam in zip(depths, alphas, cameras):
         acc_t, acc_w = fuse_one(
-            acc_t, acc_w,
+            pts_np, acc_t, acc_w,
             jnp.asarray(depth, jnp.float32), jnp.asarray(alpha, jnp.float32),
             cam.R, cam.T, cam.fx, cam.fy, cam.cx, cam.cy,
         )

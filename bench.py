@@ -24,6 +24,7 @@ import argparse
 import functools
 import glob
 import json
+import sys
 import time
 
 import jax
@@ -162,12 +163,41 @@ def main():
         help="route per-slot gradients in bf16 (bit-identical on TPU under "
         "excess-precision rules, ~3%% faster backward)",
     )
+    ap.add_argument("--skip-probe", action="store_true",
+                    help="skip the device-reachability probe (dev/CPU runs)")
     args = ap.parse_args()
     if args.maps and args.family != "2dgs":
         ap.error("--maps requires --family 2dgs")
     if args.preset is not None:
         for k, v in PRESETS[args.preset].items():
             setattr(args, k.replace("-", "_"), v)
+
+    # Device probe in a subprocess with a hard timeout: this machine's TPU
+    # tunnel has multi-hour outages during which EVERY dispatch hangs
+    # (even jnp.ones). Fail fast with an honest zero-value JSON line the
+    # harness can record instead of hanging the whole bench run.
+    if not args.skip_probe:
+        import subprocess
+
+        try:
+            subprocess.run(
+                [sys.executable, "-c",
+                 "import jax, jax.numpy as jnp; "
+                 "jax.jit(lambda a: a * 2)(jnp.ones((8, 128)))"
+                 ".block_until_ready()"],
+                timeout=180, capture_output=True, check=True,
+            )
+        except (subprocess.TimeoutExpired,
+                subprocess.CalledProcessError) as e:
+            print(json.dumps({
+                "metric": "pixels_per_s_unavailable",
+                "value": 0,
+                "unit": "pixels/s",
+                "vs_baseline": 0,
+                "error": "device unreachable (tunnel outage): "
+                         + type(e).__name__,
+            }))
+            return
 
     config = RenderConfig(
         tile_capacity=512,

@@ -37,7 +37,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax
 import jax.numpy as jnp
 
-from mojosplat_tpu import Camera, RenderConfig, look_at, render_gaussians
+from mojosplat_tpu import (
+    Camera,
+    RenderConfig,
+    look_at,
+    render_gaussians,
+    render_surfels,
+)
 from mojosplat_tpu import train as mtrain
 from mojosplat_tpu.utils.image import encode_png
 
@@ -105,7 +111,9 @@ def load_params(args):
     sh_degree = None
     if feats.ndim == 3:
         sh_degree = int(round(feats.shape[1] ** 0.5)) - 1
-    return {k: jnp.asarray(v) for k, v in raw.items()}, sh_degree
+    # Two scale columns = a 2DGS surfel scene (utils/ply.py layout note).
+    surfels = np.asarray(raw["scales"]).shape[-1] == 2
+    return {k: jnp.asarray(v) for k, v in raw.items()}, sh_degree, surfels
 
 
 def main():
@@ -121,7 +129,7 @@ def main():
     ap.add_argument("--tile-capacity", type=int, default=512)
     args = ap.parse_args()
 
-    raw, sh_degree = load_params(args)
+    raw, sh_degree, surfels = load_params(args)
     p = mtrain.activate(dict(raw))
     n = p["means3d"].shape[0]
     center = np.asarray(jnp.mean(p["means3d"], axis=0))
@@ -137,9 +145,11 @@ def main():
                           and jax.default_backend() == "cpu"),
     )
 
+    render_prim = render_surfels if surfels else render_gaussians
+
     @jax.jit
     def render(params, cam):
-        return render_gaussians(
+        return render_prim(
             params["means3d"], params["scales"], params["quats"],
             params["opacities"], params["features"], cam,
             sh_degree=sh_degree,
@@ -158,7 +168,8 @@ def main():
         return Camera.create(R=R, T=T, H=H, W=W, fx=args.focal,
                              fy=args.focal, cx=W / 2, cy=H / 2)
 
-    print(f"{n} gaussians (SH degree {sh_degree}); compiling at "
+    print(f"{n} {'surfels' if surfels else 'gaussians'} "
+          f"(SH degree {sh_degree}); compiling at "
           f"{W}x{H} on {jax.default_backend()} ...")
     t0 = time.perf_counter()
     frame = render(p, camera_for(0.0, 0.25, radius0))

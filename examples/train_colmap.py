@@ -32,7 +32,6 @@ import optax
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from mojosplat_tpu import (
-    Camera,
     RenderConfig,
     apply_pose_delta,
     render_gaussians,

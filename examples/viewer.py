@@ -21,9 +21,6 @@ one TPU program is ever in flight (this machine's tunnel rule).
 from __future__ import annotations
 
 import argparse
-import functools
-import io
-import json
 import os
 import sys
 import time

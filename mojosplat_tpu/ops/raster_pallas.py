@@ -47,7 +47,6 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..config import RenderConfig
 
 # Packed per-slot row layout (gaussians on lanes after the XLA transpose):
 # rows 0..5 = x, y, conic_a, conic_b, conic_c, opacity; rows 6..9 = rgb + one

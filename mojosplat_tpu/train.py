@@ -14,7 +14,6 @@ space end-to-end; quaternions are normalized inside projection.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Any, NamedTuple
 
 import jax

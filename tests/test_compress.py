@@ -129,3 +129,26 @@ def test_compression_beats_raw_size(tmp_path):
     # fixed codebook; at this toy N the observed ratio is ~8x, >14x at
     # production N where the codebook amortizes.)
     assert stats["ratio"] > 7.0, stats
+
+
+def test_roundtrip_surfel_scales(tmp_path):
+    # 2DGS scenes carry (N, 2) scales; the codec is shape-agnostic.
+    rng = np.random.default_rng(5)
+    raw = dict(
+        means3d=rng.normal(0, 1, (200, 3)).astype(np.float32),
+        scales=rng.normal(-1.8, 0.3, (200, 2)).astype(np.float32),
+        quats=rng.normal(0, 1, (200, 4)).astype(np.float32),
+        opacities_raw=rng.normal(1.0, 0.5, 200).astype(np.float32),
+        features=rng.uniform(0, 1, (200, 3)).astype(np.float32),
+    )
+    path = str(tmp_path / "surfels.npz")
+    compress_scene(path, raw)
+    back = load_compressed_scene(path)
+    assert back["scales"].shape == (200, 2)
+    assert back["features"].shape == (200, 3)
+    order = morton_order(raw["means3d"])
+    span = raw["scales"].max(0) - raw["scales"].min(0)
+    np.testing.assert_allclose(
+        back["scales"], raw["scales"][order], atol=float(span.max()) / 255
+        + 1e-6,
+    )

@@ -312,6 +312,7 @@ def train_step_sharded(
     sh_degree: int | None = None,
     config: RenderConfig = DEFAULT_CONFIG,
     loss_extra=None,
+    zero1: bool = False,
 ) -> tuple[TrainState, jax.Array]:
     """Training step sharded over a ('data', 'tile') mesh.
 
@@ -323,9 +324,26 @@ def train_step_sharded(
     ``loss_extra(raw_params) -> scalar`` adds a parameter regularizer (e.g.
     densify.mcmc_regularization); params are replicated, so it is evaluated
     per device and NOT reduced over the mesh.
+
+    ``zero1=True`` shards the OPTIMIZER STATE over all mesh devices
+    (ZeRO-1): after the gradient psum each device Adam-steps only its
+    1/n_dev slice of the gaussian axis (the moments for that slice live on
+    it alone), and the updated slices are all-gathered back to replicated
+    params. Cuts the moments' per-device memory by n_dev for one
+    parameter-sized all_gather per step; numerically identical to the
+    replicated update (tests/test_sharding.py). Requires N divisible by
+    n_dev. Initialize opt_state with init_train_state as usual — the
+    moments are stored at full logical shape and the mesh shards them
+    physically.
     """
     slab_h = check_slab_divisibility(cameras.H, mesh.shape["tile"], config)
-    n_dev = mesh.shape["data"] * mesh.shape["tile"]
+    n_tile = mesh.shape["tile"]
+    n_dev = mesh.shape["data"] * n_tile
+    if zero1 and state.params["opacities_raw"].shape[0] % n_dev != 0:
+        raise ValueError(
+            f"zero1 needs N ({state.params['opacities_raw'].shape[0]}) "
+            f"divisible by the device count ({n_dev})"
+        )
 
     def shard_fn(params, opt_state, step, cams, tgts):
         def loss_fn(p):
@@ -353,15 +371,49 @@ def train_step_sharded(
             grads = jax.tree_util.tree_map(
                 lambda g, r: g + r, grads, reg_grads
             )
-        updates, opt_state = optimizer.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
+        if zero1:
+            # Each device owns gaussian rows [di*m, (di+1)*m); its moment
+            # slices arrive pre-sharded (the P(('data','tile')) in_spec).
+            # Adam is row-wise, so slice-update + all_gather equals the
+            # replicated update exactly.
+            di = (jax.lax.axis_index("data") * n_tile
+                  + jax.lax.axis_index("tile"))
+
+            def rows(x):
+                m = x.shape[0] // n_dev
+                return jax.lax.dynamic_slice_in_dim(x, di * m, m, 0)
+
+            g_loc = jax.tree_util.tree_map(rows, grads)
+            p_loc = jax.tree_util.tree_map(rows, params)
+            updates, opt_state = optimizer.update(g_loc, opt_state, p_loc)
+            p_loc = optax.apply_updates(p_loc, updates)
+            params = jax.tree_util.tree_map(
+                lambda x: jax.lax.all_gather(
+                    x, ("data", "tile"), axis=0, tiled=True
+                ),
+                p_loc,
+            )
+        else:
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
         return params, opt_state, step + 1, loss
+
+    if zero1:
+        # Moment arrays shard their leading (gaussian) axis over the whole
+        # mesh; step counters and other scalars stay replicated.
+        os_spec = jax.tree_util.tree_map(
+            lambda x: (P(("data", "tile"))
+                       if getattr(x, "ndim", 0) >= 1 else P()),
+            state.opt_state,
+        )
+    else:
+        os_spec = P()
 
     fn = shard_map(
         shard_fn,
         mesh=mesh,
-        in_specs=(P(), P(), P(), P("data"), P("data", "tile")),
-        out_specs=(P(), P(), P(), P()),
+        in_specs=(P(), os_spec, P(), P("data"), P("data", "tile")),
+        out_specs=(P(), os_spec, P(), P()),
         check_vma=False,
     )
     params, opt_state, step, loss = fn(

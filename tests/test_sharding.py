@@ -309,3 +309,37 @@ def test_sharded_surfel_train_step_matches_single_device():
             np.asarray(new_state.params[k]), np.asarray(ref_params[k]),
             rtol=1e-3, atol=1e-3, err_msg=k,
         )
+
+
+def test_zero1_matches_replicated_update():
+    # ZeRO-1 optimizer-state sharding: slice-update + all_gather must equal
+    # the replicated Adam update exactly (Adam is row-wise).
+    import optax
+
+    mesh = make_mesh(2, 4)
+    n = 64  # divisible by 8 devices
+    raw = mtrain.init_gaussians(jax.random.PRNGKey(4), n)
+    opt = optax.adam(1e-2)
+    cams = batched_cameras(2, H=64)
+    rng = np.random.default_rng(30)
+    targets = jnp.asarray(rng.uniform(0, 1, (2, 64, 64, 3)).astype(np.float32))
+
+    out = {}
+    for z in (False, True):
+        state = mtrain.init_train_state(raw, opt)
+        for _ in range(2):  # two steps so sharded moments feed back in
+            state, loss = mtrain.train_step_sharded(
+                state, cams, targets, opt, mesh, config=CFG, zero1=z
+            )
+        out[z] = (state, float(loss))
+
+    assert abs(out[True][1] - out[False][1]) < 1e-7
+    for k in raw:
+        np.testing.assert_allclose(
+            np.asarray(out[True][0].params[k]),
+            np.asarray(out[False][0].params[k]),
+            atol=1e-7, err_msg=k,
+        )
+    # The zero1 moments are physically sharded over all 8 devices.
+    mu = out[True][0].opt_state[0].mu["means3d"]
+    assert len(mu.sharding.device_set) == 8

@@ -303,6 +303,44 @@ def train_step_with_densify_stats(
     )
 
 
+def _zero1_rows(tree, di, n_dev):
+    """Slice every leaf's leading (gaussian) axis to device di's rows."""
+    def rows(x):
+        m = x.shape[0] // n_dev
+        return jax.lax.dynamic_slice_in_dim(x, di * m, m, 0)
+
+    return jax.tree_util.tree_map(rows, tree)
+
+
+def _zero1_apply(params, grads, opt_state, optimizer, n_tile, n_dev):
+    """ZeRO-1 update inside shard_map: slice-step this device's gaussian
+    rows (its moment slices arrived pre-sharded), all_gather the updated
+    slices back to replicated params. Row-wise optimizers make this exactly
+    the replicated update."""
+    di = jax.lax.axis_index("data") * n_tile + jax.lax.axis_index("tile")
+    g_loc = _zero1_rows(grads, di, n_dev)
+    p_loc = _zero1_rows(params, di, n_dev)
+    updates, opt_state = optimizer.update(g_loc, opt_state, p_loc)
+    p_loc = optax.apply_updates(p_loc, updates)
+    params = jax.tree_util.tree_map(
+        lambda x: jax.lax.all_gather(
+            x, ("data", "tile"), axis=0, tiled=True
+        ),
+        p_loc,
+    )
+    return params, opt_state
+
+
+def _zero1_os_spec(opt_state):
+    """Per-leaf PartitionSpecs sharding moment arrays' leading axis over
+    the whole mesh; scalars (Adam's count) stay replicated."""
+    return jax.tree_util.tree_map(
+        lambda x: (P(("data", "tile"))
+                   if getattr(x, "ndim", 0) >= 1 else P()),
+        opt_state,
+    )
+
+
 def train_step_sharded(
     state: TrainState,
     cameras: Camera,  # batched over leading axis B (sharded over 'data')
@@ -372,42 +410,15 @@ def train_step_sharded(
                 lambda g, r: g + r, grads, reg_grads
             )
         if zero1:
-            # Each device owns gaussian rows [di*m, (di+1)*m); its moment
-            # slices arrive pre-sharded (the P(('data','tile')) in_spec).
-            # Adam is row-wise, so slice-update + all_gather equals the
-            # replicated update exactly.
-            di = (jax.lax.axis_index("data") * n_tile
-                  + jax.lax.axis_index("tile"))
-
-            def rows(x):
-                m = x.shape[0] // n_dev
-                return jax.lax.dynamic_slice_in_dim(x, di * m, m, 0)
-
-            g_loc = jax.tree_util.tree_map(rows, grads)
-            p_loc = jax.tree_util.tree_map(rows, params)
-            updates, opt_state = optimizer.update(g_loc, opt_state, p_loc)
-            p_loc = optax.apply_updates(p_loc, updates)
-            params = jax.tree_util.tree_map(
-                lambda x: jax.lax.all_gather(
-                    x, ("data", "tile"), axis=0, tiled=True
-                ),
-                p_loc,
+            params, opt_state = _zero1_apply(
+                params, grads, opt_state, optimizer, n_tile, n_dev
             )
         else:
             updates, opt_state = optimizer.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
         return params, opt_state, step + 1, loss
 
-    if zero1:
-        # Moment arrays shard their leading (gaussian) axis over the whole
-        # mesh; step counters and other scalars stay replicated.
-        os_spec = jax.tree_util.tree_map(
-            lambda x: (P(("data", "tile"))
-                       if getattr(x, "ndim", 0) >= 1 else P()),
-            state.opt_state,
-        )
-    else:
-        os_spec = P()
+    os_spec = _zero1_os_spec(state.opt_state) if zero1 else P()
 
     fn = shard_map(
         shard_fn,
@@ -432,6 +443,7 @@ def train_step_sharded_surfel(
     config: RenderConfig = DEFAULT_CONFIG,
     normal_weight: float = 0.0,
     distortion_weight: float = 0.0,
+    zero1: bool = False,
 ) -> tuple[TrainState, jax.Array]:
     """2DGS (surfel) training step sharded over a ('data', 'tile') mesh,
     with the paper's depth-distortion and normal-consistency regularizers
@@ -443,7 +455,8 @@ def train_step_sharded_surfel(
     and psums them inside the differentiated function, so the quotient rule
     of the normal-consistency ratio (psum num / psum den) is handled by AD;
     parameter gradients are then psum'd and identical optax updates applied
-    to the replicated parameters.
+    to the replicated parameters. ``zero1``: shard the optimizer state over
+    the mesh (see train_step_sharded).
     """
     from .surfel import (
         expected_depth_map,
@@ -530,15 +543,22 @@ def train_step_sharded_surfel(
         # loss is already global; grads hold each device's local
         # contribution to the replicated parameters.
         grads = jax.lax.psum(grads, ("data", "tile"))
-        updates, opt_state = optimizer.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
+        if zero1:
+            params, opt_state = _zero1_apply(
+                params, grads, opt_state, optimizer, n_tile,
+                n_tile * mesh.shape["data"],
+            )
+        else:
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
         return params, opt_state, step + 1, loss
 
+    os_spec = _zero1_os_spec(state.opt_state) if zero1 else P()
     fn = shard_map(
         shard_fn,
         mesh=mesh,
-        in_specs=(P(), P(), P(), P("data"), P("data", "tile")),
-        out_specs=(P(), P(), P(), P()),
+        in_specs=(P(), os_spec, P(), P("data"), P("data", "tile")),
+        out_specs=(P(), os_spec, P(), P()),
         check_vma=False,
     )
     params, opt_state, step, loss = fn(

@@ -343,3 +343,40 @@ def test_zero1_matches_replicated_update():
     # The zero1 moments are physically sharded over all 8 devices.
     mu = out[True][0].opt_state[0].mu["means3d"]
     assert len(mu.sharding.device_set) == 8
+
+
+def test_zero1_surfel_step_smoke():
+    import optax
+
+    mesh = make_mesh(2, 4)
+    cams = batched_cameras(2, H=128)
+    rng = np.random.default_rng(31)
+    n = 64
+    raw = dict(
+        means3d=jnp.asarray(np.concatenate(
+            [rng.normal(0, 0.3, (n, 2)), rng.uniform(1.0, 3.0, (n, 1))],
+            axis=1).astype(np.float32)),
+        scales=jnp.asarray(rng.normal(-1.8, 0.2, (n, 2)).astype(np.float32)),
+        quats=jnp.asarray(rng.normal(0, 1, (n, 4)).astype(np.float32)),
+        opacities_raw=jnp.asarray(
+            rng.normal(1.0, 0.5, n).astype(np.float32)),
+        features=jnp.asarray(rng.uniform(0, 1, (n, 3)).astype(np.float32)),
+    )
+    targets = jnp.asarray(
+        rng.uniform(0, 1, (2, 128, 64, 3)).astype(np.float32))
+    opt = optax.adam(1e-2)
+
+    out = {}
+    for z in (False, True):
+        state = mtrain.init_train_state(raw, opt)
+        state, loss = mtrain.train_step_sharded_surfel(
+            state, cams, targets, opt, mesh, config=CFG,
+            normal_weight=0.05, distortion_weight=0.01, zero1=z,
+        )
+        out[z] = (state, float(loss))
+    assert abs(out[True][1] - out[False][1]) < 1e-7
+    for k in raw:
+        np.testing.assert_allclose(
+            np.asarray(out[True][0].params[k]),
+            np.asarray(out[False][0].params[k]), atol=1e-7, err_msg=k,
+        )

@@ -186,9 +186,14 @@ def _fwd_kernel(counts_ref, pdata_ref, out_ref, thist_ref,
             def _(k=k, i=i, count=count, px=px, py=py):
                 t_in = t_s[...]
                 done = done_s[...]
-                thist_ref[i, :, k : k + 1] = jnp.where(
+                # Chunk-major (nc, P) residual layout: P=256 on lanes keeps
+                # the HBM tiling T(8,128) unpadded. The (P, nc) layout puts
+                # nc (1-8) on lanes and pads every tile to 128 lanes — a
+                # 16-32x HBM expansion (~1 GB per buffer at 1080p) that OOMed
+                # the 2DGS maps config and bloated every step.
+                thist_ref[i, k : k + 1, :] = jnp.where(
                     done == 0.0, t_in, -t_in
-                )
+                ).T
                 g = _chunk_rows(pdata_ref, i * (cap // K) + k, K)
                 alpha, *_rest = _chunk_geometry(
                     g, k, K, px, py, count, config
@@ -229,9 +234,11 @@ def _fwd_kernel(counts_ref, pdata_ref, out_ref, thist_ref,
         # All _CCOLS accumulated channels (rgb + the 4th aux channel — depth
         # when the caller packs per-gaussian depths into pdata row 9, zeros
         # otherwise; the MXU blend matmul computes it either way), then T.
+        # Channel-major (oc, P): one in-register transpose per tile buys an
+        # unpadded HBM layout for the output and its cotangent.
         out_ref[i, :, :] = jnp.concatenate(
             [acc_s[...], t_s[...]], axis=1
-        )
+        ).T
 
 
 def _bwd_kernel(counts_ref, pdata_ref, gout_ref, thist_ref,
@@ -261,14 +268,14 @@ def _bwd_kernel(counts_ref, pdata_ref, gout_ref, thist_ref,
         px, py = _tile_pixel_centers(t, ts, tw, P)
 
         # ---- Reverse chunk walk carrying the transmittance cotangent.
-        # (P, _OCOLS): 0..2 dL/drgb, 3 dL/daux (zero unless the caller
-        # rendered the aux/depth channel), 4 dL/dT_final.
+        # Channel-major (_OCOLS, P): rows 0..2 dL/drgb, 3 dL/daux (zero
+        # unless the caller rendered the aux/depth channel), 4 dL/dT_final.
         gout = gout_ref[i, :, :]
-        v = gout[:, :cp]  # the accumulated-channel cotangents
-        gt_s[...] = gout[:, cp : cp + 1]
+        v = gout[:cp, :]  # (cp, P) accumulated-channel cotangents
+        gt_s[...] = gout[cp : cp + 1, :].T
 
         for k in reversed(range(nchunks_max)):
-            th = thist_ref[i, :, k : k + 1]  # (P, 1) signed T_in
+            th = thist_ref[i, k : k + 1, :].T  # (P, 1) signed T_in
 
             @pl.when((k * K < count) & (jnp.max(th) > 0.0))
             def _(k=k, i=i, th=th, v=v, count=count, px=px, py=py):
@@ -298,16 +305,16 @@ def _bwd_kernel(counts_ref, pdata_ref, gout_ref, thist_ref,
                 t_out = t_in * cum_last
 
                 cols_t = g[6:, :]  # (cp, K) channels (+ zero pad rows)
-                # cv[p, j] = sum_c v[p, c] * cols_t[c, j]
+                # cv[p, j] = sum_c v[c, p] * cols_t[c, j]
                 cv = jax.lax.dot_general(
-                    v, cols_t, (((1,), (0,)), ((), ())),
+                    v, cols_t, (((0,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
                     precision=grad_precision,
                 )  # (P, K)
 
-                # d cols_t[c, j] = sum_p v[p, c] * w[p, j]
+                # d cols_t[c, j] = sum_p v[c, p] * w[p, j]
                 d_cols_t = jax.lax.dot_general(
-                    v, w, (((0,), (0,)), ((), ())),
+                    v, w, (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
                     precision=grad_precision,
                 )  # (cp, K)
@@ -366,10 +373,14 @@ def raster_tiles_pallas(pdata, counts, ts, tw, config):
         config: RenderConfig (static).
 
     Returns:
-        (n_tiles, ts*ts, 5) f32: columns 0..2 premultiplied RGB, column 3 the
-        accumulated aux channel (depth when pdata row 9 carries per-gaussian
-        depths, zeros otherwise), column 4 the final per-pixel transmittance
-        (the value the reference discards, rasterization.py:124).
+        (n_tiles, 5, ts*ts) f32, channel-major: rows 0..2 premultiplied RGB,
+        row 3 the accumulated aux channel (depth when pdata row 9 carries
+        per-gaussian depths, zeros otherwise), row 4 the final per-pixel
+        transmittance (the value the reference discards,
+        rasterization.py:124). Channel-major so the pixel axis (ts*ts = 256)
+        sits on lanes: the TPU T(8,128) tiled layout is unpadded, where the
+        pixel-major (P, 5) form pads 5 lanes to 128 (a ~1 GB allocation per
+        buffer at 1080p).
     """
     return _raster_fwd_call(pdata, counts, ts, tw, config)[0]
 
@@ -408,8 +419,8 @@ def _raster_fwd_call(pdata, counts, ts, tw, config):
             pl.BlockSpec((rows, tps * cap), lambda t, c: (0, t)),
         ],
         out_specs=[
-            pl.BlockSpec((tps, P, oc), lambda t, c: (t, 0, 0)),
-            pl.BlockSpec((tps, P, nc), lambda t, c: (t, 0, 0)),
+            pl.BlockSpec((tps, oc, P), lambda t, c: (t, 0, 0)),
+            pl.BlockSpec((tps, nc, P), lambda t, c: (t, 0, 0)),
         ],
         scratch_shapes=[
             pltpu.VMEM((P, 1), jnp.float32),  # t_s
@@ -421,8 +432,8 @@ def _raster_fwd_call(pdata, counts, ts, tw, config):
         kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((n_pad, P, oc), jnp.float32),
-            jax.ShapeDtypeStruct((n_pad, P, nc), jnp.float32),
+            jax.ShapeDtypeStruct((n_pad, oc, P), jnp.float32),
+            jax.ShapeDtypeStruct((n_pad, nc, P), jnp.float32),
         ],
         interpret=config.pallas_interpret,
     )(counts, pdata)
@@ -457,8 +468,8 @@ def _raster_bwd_rule(ts, tw, config, residuals, gout):
         grid=(n_pad // tps,),
         in_specs=[
             pl.BlockSpec((rows, tps * cap), lambda t, c: (0, t)),
-            pl.BlockSpec((tps, P, oc), lambda t, c: (t, 0, 0)),
-            pl.BlockSpec((tps, P, nc), lambda t, c: (t, 0, 0)),
+            pl.BlockSpec((tps, oc, P), lambda t, c: (t, 0, 0)),
+            pl.BlockSpec((tps, nc, P), lambda t, c: (t, 0, 0)),
         ],
         out_specs=pl.BlockSpec((rows, tps * cap), lambda t, c: (0, t)),
         scratch_shapes=[

@@ -214,21 +214,25 @@ def rasterize_gaussians(
             route_bf16=config.grad_route_bf16,
             absgrad_sink=absgrad_sink,
         )
+        # Kernel output is channel-major (n_tiles, oc, P): pixels on lanes
+        # keep the HBM layout unpadded (see raster_tiles_pallas docstring).
         out = raster_tiles_pallas(pdata, counts, ts, tw, config)
-        T_tiles = out[:, :, max(4, C)]  # transmittance follows the channels
+        T_tiles = out[:, max(4, C), :]  # transmittance follows the channels
         out_tiles = (
-            out[:, :, :C] + T_tiles[:, :, None] * background[None, None, :]
+            out[:, :C, :] + T_tiles[:, None, :] * background[None, :, None]
         ).astype(dtype)
 
-        def assemble_p(x, channels):
-            img = x.reshape(th, tw, ts, ts, channels)
-            img = img.transpose(0, 2, 1, 3, 4)
+        def assemble_p(x):
+            # (n_tiles, c, P) channel-major tiles -> (H, W, c)
+            channels = x.shape[1]
+            img = x.reshape(th, tw, channels, ts, ts)
+            img = img.transpose(0, 3, 1, 4, 2)
             return img.reshape(th * ts, tw * ts, channels)[
                 :img_height, :img_width
             ]
 
-        image = assemble_p(out_tiles, C)
-        final_T = assemble_p(T_tiles[..., None], 1)[..., 0]
+        image = assemble_p(out_tiles)
+        final_T = assemble_p(T_tiles[:, None, :])[..., 0]
         return image, RasterAux(
             final_transmittance=final_T, tile_overflow=tile_overflow
         )

@@ -152,9 +152,11 @@ def _fwd_kernel(counts_ref, pdata_ref, out_ref, thist_ref,
             def _(k=k, i=i, count=count, px=px, py=py):
                 t_in = t_s[...]
                 done = done_s[...]
-                thist_ref[i, :, k : k + 1] = jnp.where(
+                # Chunk-major (nc, P): unpadded HBM tiling (see
+                # raster_pallas._fwd_kernel for the layout rationale).
+                thist_ref[i, k : k + 1, :] = jnp.where(
                     done == 0.0, t_in, -t_in
-                )
+                ).T
                 g = _chunk_rows(pdata_ref, i * (cap // K) + k, K)
                 alpha, geo = _surfel_chunk_geometry(
                     g, k, K, px, py, count, config, aux=aux
@@ -192,9 +194,11 @@ def _fwd_kernel(counts_ref, pdata_ref, out_ref, thist_ref,
                     (t_after[:, K - 1 : K] <= eps).astype(jnp.float32),
                 )
 
+        # Channel-major (oc, P) write: one in-register transpose per tile
+        # buys an unpadded HBM layout for the output and its cotangent.
         out_ref[i, :, :] = jnp.concatenate(
             [acc_s[...], t_s[...]], axis=1
-        )
+        ).T
 
 
 def _bwd_kernel(counts_ref, pdata_ref, gout_ref, thist_ref,
@@ -217,15 +221,15 @@ def _bwd_kernel(counts_ref, pdata_ref, gout_ref, thist_ref,
         count = counts_ref[t]
         px, py = _tile_pixel_centers(t, ts, tw, P)
 
-        gout = gout_ref[i, :, :]  # (P, _OCOLS or 9)
-        v_cot = gout[:, :ncc]
+        gout = gout_ref[i, :, :]  # channel-major (_OCOLS or 9, P)
+        v_cot = gout[:ncc, :]  # (ncc, P)
         if aux:
-            v_z = gout[:, 6:7]
-            v_z2 = gout[:, 7:8]
-        gt_s[...] = gout[:, ncc + (2 if aux else 0) :][:, :1]
+            v_z = gout[6:7, :].T  # (P, 1)
+            v_z2 = gout[7:8, :].T
+        gt_s[...] = gout[ncc + (2 if aux else 0) :][:1, :].T
 
         for k in reversed(range(nchunks_max)):
-            th = thist_ref[i, :, k : k + 1]
+            th = thist_ref[i, k : k + 1, :].T  # (P, 1) signed T_in
 
             @pl.when((k * K < count) & (jnp.max(th) > 0.0))
             def _(k=k, i=i, th=th, v_cot=v_cot, count=count, px=px, py=py):
@@ -250,8 +254,9 @@ def _bwd_kernel(counts_ref, pdata_ref, gout_ref, thist_ref,
                 t_out = t_in * cum_last
 
                 cols_t = g[12 : 12 + ncc, :]
+                # cv[p, j] = sum_c v_cot[c, p] * cols_t[c, j]
                 cv = jax.lax.dot_general(
-                    v_cot, cols_t, (((1,), (0,)), ((), ())),
+                    v_cot, cols_t, (((0,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
                     precision=grad_precision,
                 )  # (P, K)
@@ -260,8 +265,9 @@ def _bwd_kernel(counts_ref, pdata_ref, gout_ref, thist_ref,
                     # contribution w * (v_z z + v_z2 z^2).
                     z = geo["z"]
                     cv = cv + v_z * z + v_z2 * z * z
+                # d_cols_t[c, j] = sum_p v_cot[c, p] * w[p, j]
                 d_cols_t = jax.lax.dot_general(
-                    v_cot, w, (((0,), (0,)), ((), ())),
+                    v_cot, w, (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
                     precision=grad_precision,
                 )  # (ncc, K)
@@ -354,11 +360,13 @@ def raster_surfel_tiles_pallas(pdata, counts, ts, tw, config, aux=False):
     """Blend each tile's gathered surfels front-to-back.
 
     pdata: (16, n_tiles*cap) f32 field-major rows (see module docstring);
-    returns (n_tiles, ts*ts, 5): rgb, zero aux, final transmittance.
+    returns channel-major (n_tiles, 5, ts*ts): rgb, zero aux, final
+    transmittance (pixels on lanes — unpadded HBM tiling, see
+    raster_pallas.raster_tiles_pallas).
 
     ``aux=True`` (static): pdata is 18 rows (rgb at 12:15, camera-frame
     viewer-oriented normals at 15:18) and the output widens to
-    (n_tiles, ts*ts, 9): rgb(0:3), blended normals(3:6), intersection-depth
+    (n_tiles, 9, ts*ts): rgb(0:3), blended normals(3:6), intersection-depth
     moments m1 = sum(w z) (6) and m2 = sum(w z^2) (7), transmittance (8) —
     everything render_surfels' depth/normal/distortion maps need, in the
     same single pass.
@@ -389,8 +397,8 @@ def _fwd_call(pdata, counts, ts, tw, config, aux=False):
             pl.BlockSpec((rows, tps * cap), lambda t, c: (0, t)),
         ],
         out_specs=[
-            pl.BlockSpec((tps, P, oc), lambda t, c: (t, 0, 0)),
-            pl.BlockSpec((tps, P, nc), lambda t, c: (t, 0, 0)),
+            pl.BlockSpec((tps, oc, P), lambda t, c: (t, 0, 0)),
+            pl.BlockSpec((tps, nc, P), lambda t, c: (t, 0, 0)),
         ],
         scratch_shapes=[
             pltpu.VMEM((P, 1), jnp.float32),
@@ -402,8 +410,8 @@ def _fwd_call(pdata, counts, ts, tw, config, aux=False):
         kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((n_pad, P, oc), jnp.float32),
-            jax.ShapeDtypeStruct((n_pad, P, nc), jnp.float32),
+            jax.ShapeDtypeStruct((n_pad, oc, P), jnp.float32),
+            jax.ShapeDtypeStruct((n_pad, nc, P), jnp.float32),
         ],
         interpret=config.pallas_interpret,
     )(counts, pdata)
@@ -437,8 +445,8 @@ def _bwd_rule(ts, tw, config, aux, residuals, gout):
         grid=(n_pad // tps,),
         in_specs=[
             pl.BlockSpec((rows, tps * cap), lambda t, c: (0, t)),
-            pl.BlockSpec((tps, P, oc), lambda t, c: (t, 0, 0)),
-            pl.BlockSpec((tps, P, nc), lambda t, c: (t, 0, 0)),
+            pl.BlockSpec((tps, oc, P), lambda t, c: (t, 0, 0)),
+            pl.BlockSpec((tps, nc, P), lambda t, c: (t, 0, 0)),
         ],
         out_specs=pl.BlockSpec((rows, tps * cap), lambda t, c: (0, t)),
         scratch_shapes=[

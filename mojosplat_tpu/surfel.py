@@ -291,31 +291,33 @@ def render_surfels(
         out = raster_surfel_tiles_pallas(
             pdata, counts, ts, tw, config, want_maps
         )
-        # Non-aux layout: rgb(0:3), pad, T(4). Aux: rgb(0:3), normals(3:6),
-        # m1(6), m2(7), T(8).
-        T_tiles = out[:, :, 8 if want_maps else 4]
+        # Channel-major (n_tiles, oc, P). Non-aux rows: rgb(0:3), pad, T(4).
+        # Aux: rgb(0:3), normals(3:6), m1(6), m2(7), T(8).
+        T_tiles = out[:, 8 if want_maps else 4, :]
         out_tiles = (
-            out[:, :, :3] + T_tiles[:, :, None] * background[None, None, :]
+            out[:, :3, :] + T_tiles[:, None, :] * background[None, :, None]
         ).astype(colors.dtype)
 
-        def assemble(x, channels_):
-            im = x.reshape(th, tw, ts, ts, channels_)
-            im = im.transpose(0, 2, 1, 3, 4)
+        def assemble(x):
+            # (n_tiles, c, P) channel-major tiles -> (out_h, W, c)
+            channels_ = x.shape[1]
+            im = x.reshape(th, tw, channels_, ts, ts)
+            im = im.transpose(0, 3, 1, 4, 2)
             return im.reshape(th * ts, tw * ts, channels_)[
                 : out_h, : camera.W
             ]
 
-        image = assemble(out_tiles, 3)
-        final_T = assemble(T_tiles[..., None], 1)[..., 0]
+        image = assemble(out_tiles)
+        final_T = assemble(T_tiles[:, None, :])[..., 0]
         ordered = [image]
         if want_maps:
             if return_depth:
-                ordered.append(assemble(out[:, :, 6:7], 1)[..., 0])
+                ordered.append(assemble(out[:, 6:7, :])[..., 0])
             if return_normals:
-                ordered.append(assemble(out[:, :, 3:6], 3))
+                ordered.append(assemble(out[:, 3:6, :]))
             if return_distortion:
-                m1 = assemble(out[:, :, 6:7], 1)[..., 0]
-                m2 = assemble(out[:, :, 7:8], 1)[..., 0]
+                m1 = assemble(out[:, 6:7, :])[..., 0]
+                m2 = assemble(out[:, 7:8, :])[..., 0]
                 alpha_map = 1.0 - final_T
                 ordered.append(2.0 * (alpha_map * m2 - m1 * m1))
         if return_aux:

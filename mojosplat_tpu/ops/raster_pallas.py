@@ -490,16 +490,24 @@ def _raster_bwd_rule(ts, tw, config, residuals, gout):
 raster_tiles_pallas.defvjp(_raster_fwd_rule, _raster_bwd_rule)
 
 
-def _gather_rows_impl(packed, safe):
-    packed_b, safe_b = jax.lax.optimization_barrier((packed, safe))
-    rows = jax.lax.optimization_barrier(packed_b[safe_b])  # (M, _PROWS)
-    return rows.T  # (_PROWS, M) field-major for the kernels
+def _gather_rows_impl(packed_t, safe):
+    packed_b, safe_b = jax.lax.optimization_barrier((packed_t, safe))
+    rows = jax.lax.optimization_barrier(packed_b.T[safe_b])  # (M, rows)
+    return rows.T  # (rows, M) field-major for the kernels
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
-def _gather_rows(packed, safe, interpret=False, route_bf16=False,
+def _gather_rows(packed_t, safe, interpret=False, route_bf16=False,
                  nfields=_PROWS - 1):
-    """Field-major packed[safe].T with a hand-built adjoint.
+    """Field-major packed_t.T[safe].T with a hand-built adjoint.
+
+    ``packed_t`` arrives FIELD-MAJOR (rows, N): every tensor at this
+    custom_vjp boundary (the primal, its cotangent, and the segment-sum
+    output) keeps N on lanes, so the T(8,128) HBM layouts are unpadded. The
+    (N, rows) form would pin `rows` (10-18) on lanes and pad to 128 — a
+    ~0.5 GB allocation per buffer at N=1M, and the gradient graph
+    materializes several. The transpose feeding the row gather is a layout
+    bitcast, not a copy.
 
     Forward: optimization barriers keep XLA from fusing the gather with
     neighbors (the fused emission walks rows ~5x slower than the standalone
@@ -515,11 +523,11 @@ def _gather_rows(packed, safe, interpret=False, route_bf16=False,
     transpose-free also keeps peak HBM down: at 1080p each stray transpose
     is a 167 MB temporary that XLA buffer assignment fails to reuse.
     """
-    return _gather_rows_impl(packed, safe)
+    return _gather_rows_impl(packed_t, safe)
 
 
-def _gather_rows_fwd(packed, safe, interpret, route_bf16, nfields):
-    return _gather_rows_impl(packed, safe), (safe, packed.shape[0])
+def _gather_rows_fwd(packed_t, safe, interpret, route_bf16, nfields):
+    return _gather_rows_impl(packed_t, safe), (safe, packed_t.shape[1])
 
 
 def _pack_bf16_pair(a, b):
@@ -554,7 +562,8 @@ def _route_slot_grads(g, safe, N, F, n_extra, extra_cols, interpret,
     Routes the first F rows of the (rows, M) per-slot cotangent ``g`` (plus
     ``n_extra`` caller-supplied extra per-slot columns, e.g. |grad| for
     absgrad) back to per-gaussian sums via ONE shared payload sort. Returns
-    (N, F + n_extra) summed columns.
+    (F + n_extra, N) field-major summed rows (unpadded layout — see
+    _gather_rows).
     """
     from .segsum_pallas import segment_sum_cols
 
@@ -598,8 +607,8 @@ def _gather_rows_bwd(interpret, route_bf16, nfields, res, g):
     F = nfields
     d9 = _route_slot_grads(g, safe, N, F, 0, (), interpret, route_bf16)
     # Pad back to the packed row count (g carries it; 10 for the 3DGS
-    # kernels, 16 for the surfel kernels which reuse this gather).
-    d_packed = jnp.pad(d9, ((0, 0), (0, g.shape[0] - F)))
+    # kernels, 16/18 for the surfel kernels which reuse this gather).
+    d_packed = jnp.pad(d9, ((0, g.shape[0] - F), (0, 0)))
     d_safe = np.zeros(safe.shape, dtype=jax.dtypes.float0)
     return d_packed, d_safe
 
@@ -630,9 +639,9 @@ def _gather_rows_abs(packed, safe, abs_sink, interpret=False,
     return _gather_rows_impl(packed, safe)
 
 
-def _gather_rows_abs_fwd(packed, safe, abs_sink, interpret, route_bf16,
+def _gather_rows_abs_fwd(packed_t, safe, abs_sink, interpret, route_bf16,
                          nfields):
-    return _gather_rows_impl(packed, safe), (safe, packed.shape[0])
+    return _gather_rows_impl(packed_t, safe), (safe, packed_t.shape[1])
 
 
 def _gather_rows_abs_bwd(interpret, route_bf16, nfields, res, g):
@@ -640,8 +649,8 @@ def _gather_rows_abs_bwd(interpret, route_bf16, nfields, res, g):
     F = nfields
     extra = (jnp.abs(g[0]), jnp.abs(g[1]))  # |d/dx|, |d/dy| per slot
     d_all = _route_slot_grads(g, safe, N, F, 2, extra, interpret, route_bf16)
-    d_packed = jnp.pad(d_all[:, :F], ((0, 0), (0, g.shape[0] - F)))
-    d_abs = d_all[:, F : F + 2].astype(jnp.float32)
+    d_packed = jnp.pad(d_all[:F], ((0, g.shape[0] - F), (0, 0)))
+    d_abs = d_all[F : F + 2].T.astype(jnp.float32)
     d_safe = np.zeros(safe.shape, dtype=jax.dtypes.float0)
     return d_packed, d_safe, d_abs
 
@@ -651,7 +660,7 @@ _gather_rows_abs.defvjp(_gather_rows_abs_fwd, _gather_rows_abs_bwd)
 
 def gather_tile_data(means2d, conics, colors, opacities, slot_gids,
                      interpret=False, route_bf16=False, absgrad_sink=None):
-    """Pack per-gaussian data into (N, 10) rows, gather by table, transpose.
+    """Pack per-gaussian field columns into (10, N), gather by table.
 
     ONE packed row-gather instead of ten field gathers: XLA's TPU gather is
     scalar-core bound per *row*, so width is nearly free while row count is
@@ -668,16 +677,17 @@ def gather_tile_data(means2d, conics, colors, opacities, slot_gids,
     # channels, e.g. semantic/feature splatting) just pack more rows — the
     # MXU blend matmul widens with them.
     cp = max(_PROWS - 6, C)
-    packed = jnp.concatenate(
-        [
-            means2d.astype(jnp.float32),
-            conics.astype(jnp.float32),
-            opacities.astype(jnp.float32)[:, None],
-            colors.astype(jnp.float32),
-            jnp.zeros((N, cp - C), jnp.float32),
-        ],
-        axis=-1,
-    )  # (N, 6 + cp): x, y, ca, cb, cc, op, then the blend channels
+    # Field-major (rows, N) stack of 1D columns: every per-gaussian
+    # intermediate (and the stack's split adjoints) stays (N,)-shaped or
+    # N-on-lanes — unpadded HBM layouts (see _gather_rows).
+    cols = [
+        means2d[:, 0], means2d[:, 1],
+        conics[:, 0], conics[:, 1], conics[:, 2],
+        opacities,
+    ] + [colors[:, c] for c in range(C)]
+    cols = [c.astype(jnp.float32) for c in cols]
+    cols += [jnp.zeros((N,), jnp.float32)] * (cp - C)
+    packed = jnp.stack(cols, axis=0)  # (6 + cp, N)
     safe = jnp.clip(slot_gids.reshape(-1), 0, N - 1)
     # No validity masking: invalid (-1 padding) slots only exist past each
     # tile's count, and the kernels' count guard never reads them.

@@ -62,20 +62,23 @@ def _kernel(bounds_ref, cols_hbm, out_ref, buf, acc, sem, *, F, key_row,
             jnp.float32
         )
         onehot = (rel == j).astype(jnp.float32)  # (W, R)
+        # Field-major (fpad, W) accumulation: the output stays channel-major
+        # so its HBM layout is unpadded (an (N, F<128) output pads F lanes
+        # to 128 — a ~0.5 GB allocation at 1M segments).
         acc[...] = acc[...] + jax.lax.dot_general(
-            onehot, chunk, (((1,), (1,)), ((), ())),
+            chunk, onehot, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=precision,
-        )  # (W, _FPAD)
+        )  # (fpad, W)
         return 0
 
     jax.lax.fori_loop(0, pl.cdiv(end - start, _R), body, 0)
-    out_ref[...] = acc[:, :F]
+    out_ref[...] = acc[:F, :]
 
 
 def segment_sum_cols(cols, keys, num_segments, interpret=False,
                      exact=True):
-    """Sum columns into (num_segments, F) by non-decreasing int keys.
+    """Sum columns into (F, num_segments) by non-decreasing int keys.
 
     Args:
         cols: tuple of F arrays (M,) f32 — the payload, one array per field
@@ -84,7 +87,8 @@ def segment_sum_cols(cols, keys, num_segments, interpret=False,
             key == num_segments (or beyond) are dropped (padding).
         num_segments: number of destinations.
 
-    Returns (num_segments, F) f32. Deterministic.
+    Returns (F, num_segments) f32 — field-major, so the result's HBM layout
+    is unpadded (segments on lanes). Deterministic.
     """
     F = len(cols)
     M = keys.shape[0]
@@ -115,10 +119,10 @@ def segment_sum_cols(cols, keys, num_segments, interpret=False,
         num_scalar_prefetch=1,
         grid=(n_windows,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
-        out_specs=pl.BlockSpec((_W, F), lambda w, b: (w, 0)),
+        out_specs=pl.BlockSpec((F, _W), lambda w, b: (0, w)),
         scratch_shapes=[
             pltpu.VMEM((fpad, _R), jnp.float32),  # DMA landing buffer
-            pltpu.VMEM((_W, fpad), jnp.float32),  # accumulator
+            pltpu.VMEM((fpad, _W), jnp.float32),  # accumulator
             pltpu.SemaphoreType.DMA,
         ],
     )
@@ -129,21 +133,21 @@ def segment_sum_cols(cols, keys, num_segments, interpret=False,
         functools.partial(_kernel, F=F, key_row=key_row,
                           precision=precision, fpad=fpad),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((n_windows * _W, F), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((F, n_windows * _W), jnp.float32),
         interpret=interpret,
     )(bounds, stacked)
-    return out[:num_segments]
+    return out[:, :num_segments]
 
 
 def segment_sum_rows(rows, keys, num_segments, interpret=False,
                      exact=True):
     """Deterministic segment-sum of unsorted (M, F) rows: sort by key
     (streaming merge passes, bandwidth-friendly), then the banded matmul
-    reduction."""
+    reduction. Returns (num_segments, F)."""
     M, F = rows.shape
     ops = jax.lax.sort(
         (keys,) + tuple(rows[:, i] for i in range(F)), num_keys=1
     )
     return segment_sum_cols(
         ops[1:], ops[0], num_segments, interpret=interpret, exact=exact
-    )
+    ).T

@@ -467,52 +467,44 @@ def _bwd_rule(ts, tw, config, aux, residuals, gout):
 raster_surfel_tiles_pallas.defvjp(_fwd_rule, _bwd_rule)
 
 
-def gather_surfel_tile_data(primed, colors, slot_gids, interpret=False,
-                            route_bf16=False, normals=None):
-    """Pack per-surfel rows into (N, 16/18), gather by slot ids, transpose.
+def gather_surfel_tile_data(columns, slot_gids, interpret=False,
+                            route_bf16=False):
+    """Stack per-surfel field columns, gather by slot ids.
 
-    ``primed``: (N, 12) rows [qc'(3), a'(3), b'(3), c2(2), op] with the
-    intrinsics already folded in (see primed_surfel_data). Same one-wide-
-    row-gather + sort-based adjoint as the 3DGS path (_gather_rows).
-
-    ``normals``: optional (N, 3) camera-frame viewer-oriented unit normals
-    for the aux kernel variant — packed as three more constant rows (18
-    total); their gradients route back through the same sort.
+    ``columns``: sequence of (N,) field columns [qc'(3), a'(3), b'(3),
+    c2(2), op, rgb(C), normals(3) for the aux variant] with the intrinsics
+    already folded in (see primed_surfel_columns). Kept as 1D columns right
+    up to one field-major (rows, N) stack so no per-gaussian intermediate
+    (nor the stack's split adjoints) ever materializes with a padded
+    (N, c<128) layout. Same one-wide-row-gather + sort-based adjoint as the
+    3DGS path (_gather_rows).
     """
-    N = primed.shape[0]
-    parts = [primed.astype(jnp.float32), colors.astype(jnp.float32)]
-    nconst = 12 + colors.shape[-1]
-    if normals is not None:
-        parts.append(normals.astype(jnp.float32))
-        nconst += 3
-    else:
-        parts.append(
-            jnp.zeros((N, _SROWS - nconst), jnp.float32)
-        )
-    packed = jnp.concatenate(parts, axis=-1)  # (N, 16 or 18)
+    nconst = len(columns)
+    N = columns[0].shape[0]
+    rows = max(_SROWS, nconst)
+    cols = [c.astype(jnp.float32) for c in columns]
+    cols += [jnp.zeros((N,), jnp.float32)] * (rows - nconst)
+    packed = jnp.stack(cols, axis=0)  # (16 or 18, N) field-major
     safe = jnp.clip(slot_gids.reshape(-1), 0, N - 1)
     return _gather_rows(
         packed, safe, interpret, route_bf16, nconst
     )  # (16 or 18, n_tiles*cap)
 
 
-def primed_surfel_data(data, camera):
-    """Fold the intrinsics into the (N, 12) surfel rows (see module doc).
+def primed_surfel_columns(columns, camera):
+    """Fold the intrinsics into the 12 surfel field columns (see module
+    doc).
 
-    ``data`` is surfel.surfel_alpha_data's output: [qc(3), a(3), b(3),
-    c2(2), op]. Row-scaling the ray/disk system by fx (x-eq) and fy (y-eq)
-    leaves (u, v) invariant and removes all camera scalars from the kernel.
+    ``columns`` is surfel.surfel_alpha_columns's output: [qc(3), a(3),
+    b(3), c2(2), op], each (N,). Row-scaling the ray/disk system by fx
+    (x-eq) and fy (y-eq) leaves (u, v) invariant and removes all camera
+    scalars from the kernel.
     """
-    qc, a, b, rest = data[:, 0:3], data[:, 3:6], data[:, 6:9], data[:, 9:12]
+    (qcx, qcy, qcz, ax, ay, az, bx, by, bz, c2x, c2y, op) = columns
 
-    def prime(x):
-        return jnp.stack(
-            [
-                camera.fx * x[:, 0] + camera.cx * x[:, 2],
-                camera.fy * x[:, 1] + camera.cy * x[:, 2],
-                x[:, 2],
-            ],
-            axis=-1,
-        )
+    def prime(x, y, z):
+        return (camera.fx * x + camera.cx * z,
+                camera.fy * y + camera.cy * z, z)
 
-    return jnp.concatenate([prime(qc), prime(a), prime(b), rest], axis=-1)
+    return (*prime(qcx, qcy, qcz), *prime(ax, ay, az), *prime(bx, by, bz),
+            c2x, c2y, op)

@@ -43,13 +43,76 @@ import jax.numpy as jnp
 from .camera import Camera
 from .config import DEFAULT_CONFIG, RenderConfig
 from .ops.binning import bin_gaussians_to_tiles
-from .ops.projection import project_gaussians, quat_to_rotmat
+from .ops.projection import project_gaussians
 from .ops.rasterization import rasterize_xla_generic
 from .ops.sh import sh_to_color
 from .render import RenderAux
 
 _FILTER_SIGMA2 = 0.5  # (sqrt(2)/2)^2 — the paper's screen-space low-pass
 _TINY_LOG_SCALE = -13.8  # exp() ~ 1e-6: the disk's "thickness" for binning
+
+
+def _rotate_rows(vx, vy, vz, R):
+    """(R @ v) for per-gaussian column vectors, fully elementwise.
+
+    ``v`` arrives as three (N,) columns; ``R`` is a (3, 3) camera rotation.
+    Written as scalar-broadcast multiply-adds instead of (N,3) @ (3,3)
+    dot_generals: on TPU each batched small matmul materializes its (N, 3)
+    output with a T(8,128)-padded layout (42x expansion, ~0.5 GB per buffer
+    at N=1M) and blocks elementwise fusion of the whole prep chain — the
+    same pitfall ops/projection.py documents for its einsum forms.
+    """
+    return (
+        vx * R[0, 0] + vy * R[0, 1] + vz * R[0, 2],
+        vx * R[1, 0] + vy * R[1, 1] + vz * R[1, 2],
+        vx * R[2, 0] + vy * R[2, 1] + vz * R[2, 2],
+    )
+
+
+def _tangent_axes(quats):
+    """First two rotation-matrix columns (the disk's tangent axes) straight
+    from the wxyz quaternions — same normalize-first math as
+    ops.projection.quat_to_rotmat, without building the (N, 3, 3) stack."""
+    norm = jnp.linalg.norm(quats, axis=-1, keepdims=True)
+    q = quats / jnp.maximum(norm, 1e-12)
+    w, x, y, z = q[:, 0], q[:, 1], q[:, 2], q[:, 3]
+    tu = (1 - 2 * (y * y + z * z), 2 * (x * y + w * z), 2 * (x * z - w * y))
+    tv = (2 * (x * y - w * z), 1 - 2 * (x * x + z * z), 2 * (y * z + w * x))
+    return tu, tv
+
+
+def surfel_alpha_columns(
+    means3d: jax.Array,  # (N, 3)
+    scales: jax.Array,  # (N, 2) or (N, 3) log scales (third ignored)
+    quats: jax.Array,  # (N, 4) wxyz
+    opacities: jax.Array,  # (N,)
+    camera: Camera,
+) -> tuple:
+    """12 per-surfel (N,) field columns [qc(3), a(3), b(3), c2(2), opacity].
+
+    One elementwise program from the raw parameters to the field columns,
+    kept 1D throughout (see _rotate_rows for why no (N,3)-by-(3,3) matmuls
+    appear, and ops/raster_pallas._gather_rows for why 1D: any materialized
+    (N, c<128) tensor pads its lane dim to 128 — up to 128x HBM expansion).
+    """
+    tu, tv = _tangent_axes(quats)
+    su = jnp.exp(scales[:, 0])
+    sv = jnp.exp(scales[:, 1])
+    qcx, qcy, qcz = _rotate_rows(
+        means3d[:, 0], means3d[:, 1], means3d[:, 2], camera.R
+    )
+    qcx, qcy, qcz = qcx + camera.T[0], qcy + camera.T[1], qcz + camera.T[2]
+    ax, ay, az = _rotate_rows(*tu, camera.R)
+    bx, by, bz = _rotate_rows(*tv, camera.R)
+    z = jnp.maximum(qcz, 1e-6)
+    return (
+        qcx, qcy, qcz,
+        su * ax, su * ay, su * az,
+        sv * bx, sv * by, sv * bz,
+        camera.fx * qcx / z + camera.cx,
+        camera.fy * qcy / z + camera.cy,
+        opacities,
+    )
 
 
 def surfel_alpha_data(
@@ -60,18 +123,25 @@ def surfel_alpha_data(
     camera: Camera,
 ) -> jax.Array:
     """(N, 12) per-surfel rows [qc(3), a(3), b(3), center2d(2), opacity]."""
-    R = quat_to_rotmat(quats)  # (N, 3, 3)
-    s = jnp.exp(scales[:, :2])
-    qc = means3d @ camera.R.T + camera.T  # (N, 3)
-    a = s[:, 0:1] * (R[:, :, 0] @ camera.R.T)  # (N, 3) camera-frame axes
-    b = s[:, 1:2] * (R[:, :, 1] @ camera.R.T)
-    z = jnp.maximum(qc[:, 2], 1e-6)
-    c2 = jnp.stack(
-        [camera.fx * qc[:, 0] / z + camera.cx,
-         camera.fy * qc[:, 1] / z + camera.cy],
+    return jnp.stack(
+        surfel_alpha_columns(means3d, scales, quats, opacities, camera),
         axis=-1,
     )
-    return jnp.concatenate([qc, a, b, c2, opacities[:, None]], axis=-1)
+
+
+def oriented_normal_columns(columns) -> tuple:
+    """(nx, ny, nz) viewer-oriented unit normal columns from the 12 surfel
+    field columns (cross product of the camera-frame tangent axes, flipped
+    toward the viewer — the paper flips by sign of n . dir)."""
+    ax, ay, az, bx, by, bz = columns[3:9]
+    nx = ay * bz - az * by
+    ny = az * bx - ax * bz
+    nz = ax * by - ay * bx
+    inv = 1.0 / jnp.maximum(jnp.sqrt(nx * nx + ny * ny + nz * nz), 1e-12)
+    nx, ny, nz = nx * inv, ny * inv, nz * inv
+    flip = nz > 0
+    return (jnp.where(flip, -nx, nx), jnp.where(flip, -ny, ny),
+            jnp.where(flip, -nz, nz))
 
 
 def _surfel_alphas(px, py, d, valid, camera, config, with_depth=False):
@@ -168,15 +238,16 @@ def render_surfels(
             f"got camera_model={camera.camera_model!r}"
         )
     N = means3d.shape[0]
-    if sh_degree is None:
-        colors = features
-    else:
-        colors = sh_to_color(features, means3d, camera.position, sh_degree)
+
+    def eval_colors(features_, means3d_, camera_):
+        if sh_degree is None:
+            return features_
+        return sh_to_color(features_, means3d_, camera_.position, sh_degree)
 
     if background_color is None:
-        background = jnp.zeros((3,), colors.dtype)
+        background = jnp.zeros((3,), features.dtype)
     else:
-        background = jnp.asarray(background_color, dtype=colors.dtype)
+        background = jnp.asarray(background_color, dtype=features.dtype)
 
     # Flattened-gaussian bound for culling/AABB/binning: the disk is the
     # support of a 3D gaussian with a ~zero third axis, so the 3DGS
@@ -221,17 +292,13 @@ def render_surfels(
         means2d_slab, proj.radii, proj.depths, out_h, camera.W, config
     )
 
-    data = surfel_alpha_data(means3d, scales, quats, opacities, camera)
     want_vals = return_depth or return_distortion
     want_maps = return_depth or return_normals or return_distortion
 
-    def oriented_normals():
-        a, b = data[:, 3:6], data[:, 6:9]
-        n = jnp.cross(a, b)
-        n = n / jnp.maximum(jnp.linalg.norm(n, axis=-1, keepdims=True),
-                            1e-12)
-        # Orient toward the viewer (the paper flips by sign of n . dir).
-        return jnp.where((n[:, 2:3] > 0), -n, n)
+    def oriented_normals(data):
+        # (N, 3) form of oriented_normal_columns for the XLA-oracle path.
+        cols = tuple(data[:, i] for i in range(12))
+        return jnp.stack(oriented_normal_columns(cols), axis=-1)
 
     if config.raster_impl == "pallas":
         # Production TPU path: the surfel Pallas kernels
@@ -241,7 +308,7 @@ def render_surfels(
         from .ops.slice_pallas import segment_slice_gather
         from .ops.surfel_pallas import (
             gather_surfel_tile_data,
-            primed_surfel_data,
+            primed_surfel_columns,
             raster_surfel_tiles_pallas,
         )
 
@@ -258,35 +325,40 @@ def render_surfels(
             jax.lax.stop_gradient(binning.gaussian_ids), starts, cap,
             interpret=config.pallas_interpret,
         )
-        primed = primed_surfel_data(data, camera)
-        if viewport_rows is not None:
-            # The kernels see slab-relative py; absorb the shift into the
-            # y-primed rows (py_abs = py_slab + row0; A21 = a1' - py_abs a2
-            # becomes (a1' - row0 a2) - py_slab a2, etc.) and the filter
-            # center.
-            r0 = jnp.asarray(row0, primed.dtype)
-            primed = jnp.concatenate(
-                [
-                    primed[:, 0:1],
-                    primed[:, 1:2] - r0 * primed[:, 2:3],  # qc1'
-                    primed[:, 2:3],
-                    primed[:, 3:4],
-                    primed[:, 4:5] - r0 * primed[:, 5:6],  # a1'
-                    primed[:, 5:6],
-                    primed[:, 6:7],
-                    primed[:, 7:8] - r0 * primed[:, 8:9],  # b1'
-                    primed[:, 8:9],
-                    primed[:, 9:10],
-                    primed[:, 10:11] - r0,  # c2y
-                    primed[:, 11:12],
-                ],
-                axis=-1,
+        def build_pdata(means3d, scales, quats, opacities, features,
+                        camera, slot_gids):
+            # Wrapped in jax.checkpoint below: without it, the prep chain's
+            # autodiff residuals stay live across the raster kernels.
+            # Recomputing the prep in the backward costs a few ms; only
+            # pdata (already a raster-kernel residual) persists. The prep
+            # itself flows as 1D (N,) field columns end-to-end (see
+            # surfel_alpha_columns) so whatever XLA materializes stays
+            # unpadded.
+            colors = eval_colors(features, means3d, camera)
+            cols = surfel_alpha_columns(means3d, scales, quats, opacities,
+                                        camera)
+            pcols = list(primed_surfel_columns(cols, camera))
+            if viewport_rows is not None:
+                # The kernels see slab-relative py; absorb the shift into
+                # the y-primed rows (py_abs = py_slab + row0;
+                # A21 = a1' - py_abs a2 becomes (a1' - row0 a2) - py_slab
+                # a2, etc.) and the filter center.
+                r0 = jnp.asarray(row0, pcols[0].dtype)
+                pcols[1] = pcols[1] - r0 * pcols[2]  # qc1'
+                pcols[4] = pcols[4] - r0 * pcols[5]  # a1'
+                pcols[7] = pcols[7] - r0 * pcols[8]  # b1'
+                pcols[10] = pcols[10] - r0  # c2y
+            pcols += [colors[:, c] for c in range(colors.shape[-1])]
+            if want_maps:
+                pcols += list(oriented_normal_columns(cols))
+            return gather_surfel_tile_data(
+                pcols, slot_gids,
+                interpret=config.pallas_interpret,
+                route_bf16=config.grad_route_bf16,
             )
-        pdata = gather_surfel_tile_data(
-            primed, colors, slot_gids,
-            interpret=config.pallas_interpret,
-            route_bf16=config.grad_route_bf16,
-            normals=oriented_normals() if want_maps else None,
+
+        pdata = jax.checkpoint(build_pdata)(
+            means3d, scales, quats, opacities, features, camera, slot_gids
         )
         out = raster_surfel_tiles_pallas(
             pdata, counts, ts, tw, config, want_maps
@@ -296,7 +368,7 @@ def render_surfels(
         T_tiles = out[:, 8 if want_maps else 4, :]
         out_tiles = (
             out[:, :3, :] + T_tiles[:, None, :] * background[None, :, None]
-        ).astype(colors.dtype)
+        ).astype(features.dtype)
 
         def assemble(x):
             # (n_tiles, c, P) channel-major tiles -> (out_h, W, c)
@@ -335,9 +407,11 @@ def render_surfels(
             ))
         return ordered[0] if len(ordered) == 1 else tuple(ordered)
 
+    colors = eval_colors(features, means3d, camera)
+    data = surfel_alpha_data(means3d, scales, quats, opacities, camera)
     channels = [colors]
     if return_normals:
-        channels.append(oriented_normals().astype(colors.dtype))
+        channels.append(oriented_normals(data).astype(colors.dtype))
     colors_ext = jnp.concatenate(channels, axis=-1)
     background_ext = jnp.concatenate(
         [background,

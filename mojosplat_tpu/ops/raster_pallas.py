@@ -262,10 +262,27 @@ def _bwd_kernel(counts_ref, pdata_ref, gout_ref, thist_ref,
 
     dpdata_ref[...] = jnp.zeros_like(dpdata_ref)
 
+    # Tile-local quadratic pixel basis [1, u, v, u^2, uv, v^2] with
+    # u, v in [0.5, ts - 0.5] — identical for every tile, built once. The
+    # geometry gradients are recovered from d_sigma's moments against this
+    # basis with ONE small MXU matmul per chunk instead of five per-pixel
+    # product chains + six cross-sublane tree reductions (each reduce is
+    # ~P/8 vector adds — they dominated the backward's VPU time).
+    pidx = jax.lax.broadcasted_iota(jnp.int32, (P, 1), 0)
+    u = (pidx % ts).astype(jnp.float32) + 0.5
+    w_ = (pidx // ts).astype(jnp.float32) + 0.5
+    ones_p = jnp.ones((P, 1), jnp.float32)
+    basis = jnp.concatenate(
+        [ones_p, u, w_, u * u, u * w_, w_ * w_], axis=1
+    )  # (P, 6)
+
     for i in range(tps):
         t = tt * tps + i
         count = counts_ref[t]
         px, py = _tile_pixel_centers(t, ts, tw, P)
+        tile_y = t // tw
+        ox = ((t - tile_y * tw) * ts).astype(jnp.float32)
+        oy = (tile_y * ts).astype(jnp.float32)
 
         # ---- Reverse chunk walk carrying the transmittance cotangent.
         # Channel-major (_OCOLS, P): rows 0..2 dL/drgb, 3 dL/daux (zero
@@ -278,7 +295,8 @@ def _bwd_kernel(counts_ref, pdata_ref, gout_ref, thist_ref,
             th = thist_ref[i, k : k + 1, :].T  # (P, 1) signed T_in
 
             @pl.when((k * K < count) & (jnp.max(th) > 0.0))
-            def _(k=k, i=i, th=th, v=v, count=count, px=px, py=py):
+            def _(k=k, i=i, th=th, v=v, count=count, px=px, py=py,
+                  ox=ox, oy=oy):
                 t_in = jnp.abs(th)
                 gt = gt_s[...]
                 g = _chunk_rows(pdata_ref, i * nchunks_max + k, K)
@@ -329,22 +347,42 @@ def _bwd_kernel(counts_ref, pdata_ref, gout_ref, thist_ref,
 
                 d_op = d_raw * e
                 d_sigma = -d_raw * raw
-                d_ca = 0.5 * dx * dx * d_sigma
-                d_cc = 0.5 * dy * dy * d_sigma
-                d_cb = dx * dy * d_sigma
-                d_dx = (ca * dx + cb * dy) * d_sigma
-                d_dy = (cc * dy + cb * dx) * d_sigma
 
-                # Reduce over pixels (sublanes) -> per-gaussian rows (1, K),
-                # assemble the (10, K) gradient block, write its slice.
+                # Geometry gradients via d_sigma's pixel moments: with
+                # tile-local u = px - ox (so dx = X - u, X = xg - ox),
+                #   sum_p dx^2 d  = X^2 m0 - 2 X mu + muu   etc.
+                # One (6, P) x (P, K) MXU dot replaces the five per-pixel
+                # chains and their sublane tree reductions; d_op keeps its
+                # own 1-row dot (a different per-pixel weight).
+                m = jax.lax.dot_general(
+                    basis, d_sigma, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=grad_precision,
+                )  # (6, K)
+                m0, mu, mv = m[0:1, :], m[1:2, :], m[2:3, :]
+                muu, muv, mvv = m[3:4, :], m[4:5, :], m[5:6, :]
+                sum_dop = jax.lax.dot_general(
+                    ones_p, d_op, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=grad_precision,
+                )  # (1, K)
+                xr = g[0:1, :] - ox  # X: gaussian x in tile-local coords
+                yr = g[1:2, :] - oy
+                s_dx = xr * m0 - mu  # sum_p dx d_sigma
+                s_dy = yr * m0 - mv
+                s_dx2 = xr * xr * m0 - 2.0 * xr * mu + muu
+                s_dy2 = yr * yr * m0 - 2.0 * yr * mv + mvv
+                s_dxdy = xr * yr * m0 - xr * mv - yr * mu + muv
+
+                # Assemble the (10, K) gradient block, write its slice.
                 d_g = jnp.concatenate(
                     [
-                        jnp.sum(d_dx, axis=0, keepdims=True),
-                        jnp.sum(d_dy, axis=0, keepdims=True),
-                        jnp.sum(d_ca, axis=0, keepdims=True),
-                        jnp.sum(d_cb, axis=0, keepdims=True),
-                        jnp.sum(d_cc, axis=0, keepdims=True),
-                        jnp.sum(d_op, axis=0, keepdims=True),
+                        ca * s_dx + cb * s_dy,  # d xg (sum_p d_dx)
+                        cc * s_dy + cb * s_dx,  # d yg
+                        0.5 * s_dx2,  # d conic_a
+                        s_dxdy,  # d conic_b
+                        0.5 * s_dy2,  # d conic_c
+                        sum_dop,  # d opacity
                         d_cols_t,
                     ],
                     axis=0,

@@ -111,6 +111,8 @@ def previous_round_value(metric: str) -> float | None:
         try:
             with open(path) as f:
                 rec = json.load(f)
+            # The driver nests the parsed JSON line under "parsed".
+            rec = rec.get("parsed", rec)
             if rec.get("metric") == metric and "value" in rec:
                 best = float(rec["value"])
         except Exception:

@@ -150,6 +150,37 @@ def bin_gaussians_to_tiles(
             "binning packs gaussian indices in f32 (exact below 2^24); "
             f"got N = {N}"
         )
+    if max(th, tw) >= (1 << 13) or span >= (1 << 8):
+        raise ValueError(
+            "binning packs tile coords in 13 bits and spans in 8 "
+            f"(grid {th}x{tw}, max_tile_span {span})"
+        )
+
+    # Depth presort shared by both routes: ONE f32 key (empty gaussians
+    # folded to +inf so they compact to the suffix; their order is
+    # irrelevant — they own zero slots) and the per-gaussian geometry
+    # bit-packed into two int32 payloads. Sort cost scales per operand
+    # (every payload rides every merge pass), so 4 operands instead of the
+    # naive 7 (2 keys + 5 fields). Stability preserves the original-index
+    # tie-break on equal depths, exactly like the old (is_empty, depth) key
+    # pair.
+    sortkey = jnp.where(counts == 0, jnp.inf, depths.astype(jnp.float32))
+    geom = tx_min | (ty_min << 13)
+    spans = span_x | (span_y << 8)
+    depths_p, geom_p, spans_p, index_p = jax.lax.sort(
+        (sortkey, geom, spans, jnp.arange(N, dtype=jnp.int32)),
+        num_keys=1,
+        is_stable=True,
+    )
+    tx_min_p = geom_p & 0x1FFF
+    ty_min_p = geom_p >> 13
+    span_x_p = spans_p & 0xFF
+    counts_p = span_x_p * (spans_p >> 8)
+    offsets_p = jnp.cumsum(counts_p) - counts_p  # exclusive prefix sum
+    total = jnp.where(
+        N > 0, offsets_p[-1] + counts_p[-1], 0
+    ).astype(jnp.int32)
+
     if config.raster_impl == "pallas":
         # Depth-presorted banded-expand route. Gaussians are sorted ONCE by
         # (is_empty, depth) — a small N-row sort — so that (a) slot emission
@@ -164,26 +195,9 @@ def bin_gaussians_to_tiles(
         # 1080p/1M).
         from .expand_pallas import segment_expand_offsets
 
-        _, _, counts_p, span_x_p, tx_min_p, ty_min_p, index_p = jax.lax.sort(
-            (
-                (counts == 0).astype(jnp.int32),  # nonzero-count first
-                depths.astype(jnp.float32),
-                counts.astype(jnp.float32),
-                span_x.astype(jnp.float32),
-                tx_min.astype(jnp.float32),
-                ty_min.astype(jnp.float32),
-                jnp.arange(N, dtype=jnp.float32),
-            ),
-            num_keys=2,
-            is_stable=True,
-        )
-        offsets_p = jnp.cumsum(counts_p) - counts_p
-        total = jnp.where(
-            N > 0, offsets_p[-1] + counts_p[-1], 0
-        ).astype(jnp.int32)
         fields_t = jnp.stack(
             [offsets_p, span_x_p, tx_min_p, ty_min_p, index_p], axis=0
-        )  # (5, N) depth-sorted, compacted-first
+        ).astype(jnp.float32)  # (5, N) depth-sorted, compacted-first
         g = segment_expand_offsets(
             fields_t, capacity, interpret=config.pallas_interpret
         )[:, :capacity]
@@ -215,26 +229,7 @@ def bin_gaussians_to_tiles(
         # (so the two routes drop the SAME farthest-depth intersections
         # whenever `capacity` overflows — a policy parity tests rely on),
         # with the slot-owner map built by pure-XLA scatter + cumsum.
-        _, depths_p, counts_pf, span_x_p, tx_min_p, ty_min_p, index_p = (
-            jax.lax.sort(
-                (
-                    (counts == 0).astype(jnp.int32),  # nonzero-count first
-                    depths.astype(jnp.float32),
-                    counts.astype(jnp.float32),
-                    span_x.astype(jnp.float32),
-                    tx_min.astype(jnp.float32),
-                    ty_min.astype(jnp.float32),
-                    jnp.arange(N, dtype=jnp.float32),
-                ),
-                num_keys=2,
-                is_stable=True,
-            )
-        )
-        counts_p = counts_pf.astype(jnp.int32)
-        offsets = jnp.cumsum(counts_p) - counts_p  # exclusive prefix sum
-        total = jnp.where(
-            N > 0, offsets[-1] + counts_p[-1], 0
-        ).astype(jnp.int32)
+        offsets = offsets_p
 
         # Segmented expansion by prefix sums — the TPU-native replacement
         # for the reference's per-gaussian emission loop (binning.py:
@@ -263,11 +258,11 @@ def bin_gaussians_to_tiles(
         fields = jnp.stack(
             [
                 offsets.astype(jnp.float32),
-                span_x_p,
-                tx_min_p,
-                ty_min_p,
-                depths_p,
-                index_p,
+                span_x_p.astype(jnp.float32),
+                tx_min_p.astype(jnp.float32),
+                ty_min_p.astype(jnp.float32),
+                depths_p,  # +inf on empty gaussians (never in-range)
+                index_p.astype(jnp.float32),
             ],
             axis=-1,
         )  # (N, 6) depth-sorted, compacted-first

@@ -275,6 +275,16 @@ def _bwd_kernel(counts_ref, pdata_ref, gout_ref, thist_ref,
     basis = jnp.concatenate(
         [ones_p, u, w_, u * u, u * w_, w_ * w_], axis=1
     )  # (P, 6)
+    # Strict upper-triangular ones: S = q @ rev_tri computes the exclusive
+    # reverse lane cumsum as ONE MXU dot in the fast-gradient mode,
+    # replacing the 7-step Hillis-Steele scan (~21 VPU ops over (P, K) per
+    # chunk — the single largest VPU chain in this kernel). bf16
+    # truncation of q matches the route's existing quantization; the exact
+    # mode keeps the VPU scan.
+    rev_tri = (
+        jax.lax.broadcasted_iota(jnp.int32, (K, K), 0)
+        > jax.lax.broadcasted_iota(jnp.int32, (K, K), 1)
+    ).astype(jnp.float32)
 
     for i in range(tps):
         t = tt * tps + i
@@ -338,7 +348,15 @@ def _bwd_kernel(counts_ref, pdata_ref, gout_ref, thist_ref,
                 )  # (cp, K)
 
                 q = w * cv  # (P, K)
-                S = _lane_rev_cumsum_excl(q, col, K)
+                if config.grad_route_bf16:
+                    # S[p, j] = sum_{i > j} q[p, i] on the MXU.
+                    S = jax.lax.dot_general(
+                        q, rev_tri, (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                        precision=grad_precision,
+                    )
+                else:
+                    S = _lane_rev_cumsum_excl(q, col, K)
                 d_eff = cv * t_before - (S + gt * t_out) / ome
                 d_alpha = jnp.where(applied, d_eff, 0.0)
                 d_raw = jnp.where(

@@ -82,18 +82,31 @@ def amortized(name, stage_fn, *args, grad_of=None):
     print(f"{name:34s} {dt*1000:8.2f} ms", flush=True)
 
 
-# Precompute stage inputs once (eagerly).
-colors = sh_to_color(params["features"], params["means3d"], camera.position, sh)
-proj = project_gaussians(params["means3d"], params["scales"], params["quats"],
-                         params["opacities"], camera, cfg)
-binning = bin_gaussians_to_tiles(proj.means2d, proj.radii, proj.depths, H, W, cfg)
-ranges = binning.tile_ranges.reshape(-1, 2)
-counts = jnp.clip(ranges[:, 1] - ranges[:, 0], 0, cfg.tile_capacity).astype(jnp.int32)
-slot_gids = segment_slice_gather(binning.gaussian_ids, ranges[:, 0],
-                                 cfg.tile_capacity)
-pdata = gather_tile_data(proj.means2d, proj.conics, colors,
-                         params["opacities"], slot_gids,
-                         route_bf16=cfg.grad_route_bf16)
+# Precompute stage inputs once — inside ONE jit: eager execution dispatches
+# every op separately through the ~30 ms tunnel (the eager form of this
+# section ran 9+ minutes without finishing).
+@jax.jit
+def _precompute(params, camera):
+    colors = sh_to_color(params["features"], params["means3d"],
+                         camera.position, sh)
+    proj = project_gaussians(params["means3d"], params["scales"],
+                             params["quats"], params["opacities"], camera,
+                             cfg)
+    binning = bin_gaussians_to_tiles(proj.means2d, proj.radii, proj.depths,
+                                     H, W, cfg)
+    ranges = binning.tile_ranges.reshape(-1, 2)
+    counts = jnp.clip(ranges[:, 1] - ranges[:, 0], 0,
+                      cfg.tile_capacity).astype(jnp.int32)
+    slot_gids = segment_slice_gather(binning.gaussian_ids, ranges[:, 0],
+                                     cfg.tile_capacity)
+    pdata = gather_tile_data(proj.means2d, proj.conics, colors,
+                             params["opacities"], slot_gids,
+                             route_bf16=cfg.grad_route_bf16)
+    return colors, proj, binning, ranges, counts, slot_gids, pdata
+
+
+colors, proj, binning, ranges, counts, slot_gids, pdata = jax.block_until_ready(
+    _precompute(params, camera))
 print("mean count/tile:", float(counts.mean()), " max:", int(counts.max()),
       " isects:", int(binning.aux.num_isects), flush=True)
 
@@ -136,6 +149,7 @@ elif GROUP == "raster":
     amortized("pallas raster fwd",
               lambda g, n_: raster_tiles_pallas(g, n_, cfg.tile_size, tw, cfg),
               pdata, counts)
+elif GROUP == "raster_bwd":
     amortized("pallas raster fwd+bwd",
               lambda g, n_: raster_tiles_pallas(g, n_, cfg.tile_size, tw, cfg),
               pdata, counts, grad_of=(0,))

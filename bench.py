@@ -145,9 +145,9 @@ def main():
     ap.add_argument("--mode", choices=["fwd", "fwdbwd"], default="fwdbwd")
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--impl", default="pallas", choices=["xla", "pallas"])
-    ap.add_argument("--tps", type=int, default=4,
+    ap.add_argument("--tps", type=int, default=8,
                     help="pallas tiles per grid step")
-    ap.add_argument("--chunk", type=int, default=128,
+    ap.add_argument("--chunk", type=int, default=256,
                     help="pallas gaussians per chunk")
     ap.add_argument(
         "--family", default="3dgs", choices=["3dgs", "2dgs"],

@@ -91,7 +91,14 @@ def timed(tag, cfg, grad):
     print(f"{tag:34s} {(tN - t1) / (ITERS - 1) * 1000:8.2f} ms", flush=True)
 
 
-for tps, chunk in [(4, 128), (8, 128), (2, 128), (4, 256), (4, 64)]:
+import sys
+
+CONFIGS = [(4, 128), (8, 128), (2, 128), (4, 256), (4, 64)]
+if len(sys.argv) > 1:  # "tps:K,tps:K,..."
+    CONFIGS = [tuple(int(v) for v in c.split(":"))
+               for c in sys.argv[1].split(",")]
+
+for tps, chunk in CONFIGS:
     cfg = dataclasses.replace(base, pallas_tiles_per_step=tps,
                               pallas_chunk=chunk)
     try:

@@ -637,7 +637,12 @@ def _route_slot_grads(g, safe, N, F, n_extra, extra_cols, interpret,
             _pack_bf16_pair(cols[i], cols[i + 1])
             for i in range(0, len(cols), 2)
         )
-        ops = jax.lax.sort((safe,) + packed_cols, num_keys=1)
+        # is_stable=False: ~25% cheaper at 4M rows and still DETERMINISTIC
+        # (a fixed comparison network; only the stability guarantee is
+        # dropped, which the segment sum does not need — any fixed
+        # within-segment order gives bitwise-reproducible f32 sums).
+        ops = jax.lax.sort((safe,) + packed_cols, num_keys=1,
+                           is_stable=False)
         unpacked = []
         for c in ops[1:]:
             lo, hi = _unpack_bf16_pair(c)
@@ -648,6 +653,7 @@ def _route_slot_grads(g, safe, N, F, n_extra, extra_cols, interpret,
     ops = jax.lax.sort(
         (safe,) + tuple(g[i] for i in range(F)) + tuple(extra_cols),
         num_keys=1,
+        is_stable=False,
     )
     return segment_sum_cols(
         ops[1:], ops[0], N, interpret=interpret, exact=True

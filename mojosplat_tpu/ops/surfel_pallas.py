@@ -214,6 +214,14 @@ def _bwd_kernel(counts_ref, pdata_ref, gout_ref, thist_ref,
     nchunks_max = cap // K
     ncc = 6 if aux else _CCOLS  # constant (matmul-blended) channels
 
+    # Strict upper-triangular ones: one MXU dot computes the exclusive
+    # reverse lane cumsum in the fast-gradient mode (see raster_pallas
+    # _bwd_kernel); the exact mode keeps the VPU Hillis-Steele scan.
+    rev_tri = (
+        jax.lax.broadcasted_iota(jnp.int32, (K, K), 0)
+        > jax.lax.broadcasted_iota(jnp.int32, (K, K), 1)
+    ).astype(jnp.float32)
+
     dpdata_ref[...] = jnp.zeros_like(dpdata_ref)
 
     for i in range(tps):
@@ -273,7 +281,14 @@ def _bwd_kernel(counts_ref, pdata_ref, gout_ref, thist_ref,
                 )  # (ncc, K)
 
                 q = w * cv
-                S = _lane_rev_cumsum_excl(q, col, K)
+                if config.grad_route_bf16:
+                    S = jax.lax.dot_general(
+                        q, rev_tri, (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                        precision=grad_precision,
+                    )
+                else:
+                    S = _lane_rev_cumsum_excl(q, col, K)
                 d_eff = cv * t_before - (S + gt * t_out) / ome
                 d_alpha = jnp.where(applied, d_eff, 0.0)
                 d_raw = jnp.where(

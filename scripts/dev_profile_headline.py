@@ -31,8 +31,8 @@ ITERS = 10
 GROUP = (sys.argv[1] if len(sys.argv) > 1 else "raster")
 
 cfg = RenderConfig(tile_capacity=512, chunk_size=64, tile_batch=512,
-                   max_tile_span=8, raster_impl="pallas", pallas_chunk=128,
-                   grad_route_bf16=True)
+                   max_tile_span=8, raster_impl="pallas", pallas_chunk=256,
+                   pallas_tiles_per_step=8, grad_route_bf16=True)
 H, W, n, sh = 1080, 1920, 1_000_000, 3
 camera = Camera.create(R=jnp.eye(3), T=jnp.zeros(3), H=H, W=W,
                        fx=0.5 * W, fy=0.5 * W, cx=W / 2, cy=H / 2)

@@ -25,8 +25,9 @@ import jax.numpy as jnp
 
 @partial(
     jax.tree_util.register_dataclass,
-    data_fields=["R", "T", "fx", "fy", "cx", "cy", "near", "far", "dist"],
-    meta_fields=["H", "W", "camera_model"],
+    data_fields=["R", "T", "fx", "fy", "cx", "cy", "near", "far", "dist",
+                 "rs_vel"],
+    meta_fields=["H", "W", "camera_model", "shutter"],
 )
 @dataclasses.dataclass(frozen=True)
 class Camera:
@@ -66,7 +67,19 @@ class Camera:
     near: jax.Array
     far: jax.Array
     dist: jax.Array  # (..., 5); meaning depends on camera_model (see above)
+    # Rolling-shutter se(3) velocity [omega (3), upsilon (3)] over one full
+    # frame readout; (R, T) is the MID-exposure pose and the pose at image
+    # row r is the left perturbation exp([t omega]x) R, exp([t omega]x) T +
+    # t upsilon with t = (r + 0.5)/H - 0.5 in [-0.5, 0.5]. Zeros = static
+    # camera. Only read when ``shutter == "rolling"``.
+    rs_vel: jax.Array = None  # (..., 6)
     camera_model: str = "pinhole"
+    # "global" (default) or "rolling" (rows read top-to-bottom across the
+    # frame time). Rolling cameras auto-route to the unscented projection
+    # (each sigma point solves its own row time by fixed-point iteration
+    # through the exact camera map — the 3DGUT formulation; no
+    # motion-Jacobian linearization anywhere).
+    shutter: str = "global"
 
     @staticmethod
     def create(
@@ -83,6 +96,8 @@ class Camera:
         dist=None,
         dtype=jnp.float32,
         camera_model: str = "pinhole",
+        rs_vel=None,
+        shutter: str = "global",
     ) -> "Camera":
         """Build a camera, coercing scalars/arrays to the given dtype.
 
@@ -93,12 +108,18 @@ class Camera:
         """
         if camera_model not in ("pinhole", "fisheye", "ortho"):
             raise ValueError(f"Unknown camera_model: {camera_model!r}")
+        if shutter not in ("global", "rolling"):
+            raise ValueError(f"Unknown shutter: {shutter!r}")
         as_arr = lambda v: jnp.asarray(v, dtype=dtype)
         fx_a = as_arr(fx)
         if dist is None:
             dist_a = jnp.zeros(fx_a.shape + (5,), dtype)
         else:
             dist_a = jnp.broadcast_to(as_arr(dist), fx_a.shape + (5,))
+        if rs_vel is None:
+            rs_a = jnp.zeros(fx_a.shape + (6,), dtype)
+        else:
+            rs_a = jnp.broadcast_to(as_arr(rs_vel), fx_a.shape + (6,))
         return Camera(
             R=as_arr(R),
             T=as_arr(T),
@@ -111,7 +132,9 @@ class Camera:
             near=as_arr(near),
             far=as_arr(far),
             dist=dist_a,
+            rs_vel=rs_a,
             camera_model=camera_model,
+            shutter=shutter,
         )
 
     @property

@@ -64,6 +64,11 @@ class RenderConfig:
     ut_alpha: float = 1.0
     ut_beta: float = 2.0
     ut_kappa: float = 0.0
+    # Rolling-shutter row-time fixed-point iterations (Camera.shutter ==
+    # "rolling"; each sigma point solves t = row(project(pose(t) @ p)) / H
+    # through the exact camera map — 3DGUT's formulation). 2 converges for
+    # sub-frame motion; bump for extreme velocities.
+    rs_iterations: int = 2
 
     # --- static-shape budget knobs (TPU-native; avoid recompiles) ---
     # Max tiles a single gaussian may claim along each axis; larger footprints

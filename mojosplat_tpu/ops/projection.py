@@ -375,20 +375,68 @@ def _unscented_cov2d(means3d, scales, quats, camera, config):
         ],
         axis=1,
     )  # (N, 7, 3)
-    if camera.camera_model == "ortho":
-        # Orthographic: no z-divide and no lens; the UT then recovers the
-        # exact linear pushforward (all sigma points map affinely).
-        xd, yd = pts[..., 0], pts[..., 1]
+
+    def to_pixels(p):
+        """(..., 3) camera-frame points -> ((..., 2) pixels, depth z)."""
+        if camera.camera_model == "ortho":
+            # Orthographic: no z-divide and no lens; the UT then recovers
+            # the exact linear pushforward (all points map affinely).
+            xd, yd = p[..., 0], p[..., 1]
+        else:
+            z_floor = 0.01 * jnp.where(ok, zc, 1.0)
+            z = jnp.maximum(p[..., 2], z_floor[:, None])
+            xn = p[..., 0] / z  # (..., 7) normalized image coordinates
+            yn = p[..., 1] / z
+            xd, yd = apply_lens(camera, xn, yn)
+        return jnp.stack(
+            [camera.fx * xd + camera.cx, camera.fy * yd + camera.cy],
+            axis=-1,
+        )
+
+    if camera.shutter == "rolling":
+        # Rolling shutter (3DGUT formulation): (R, T) is the MID-exposure
+        # pose; the pose at normalized row time t in [-0.5, 0.5] is the
+        # left se(3) perturbation exp([t omega]x) applied to the base map,
+        # so a base-camera-frame point q lands at exp([t omega]x) q +
+        # t upsilon — the world->base transform above is reused as-is.
+        # Each sigma point solves its own row time by fixed-point
+        # iteration through the EXACT camera map (no motion Jacobian),
+        # which converges in 2-3 iterations for sub-frame motion.
+        om = camera.rs_vel[..., 0:3]
+        up = camera.rs_vel[..., 3:6]
+        t = jnp.zeros(pts.shape[:-1], pts.dtype)  # (N, 7) row times
+
+        def rotate(v, t):
+            # Rodrigues in vector form with theta^2-Taylor switches:
+            # smooth at omega = 0 and at t = 0 (no |omega| cusp).
+            w = t[..., None] * om  # (N, 7, 3)
+            th2 = jnp.sum(w * w, axis=-1)
+            small = th2 < 1e-12
+            th2_safe = jnp.where(small, 1.0, th2)
+            th = jnp.sqrt(th2_safe)
+            c = jnp.cos(jnp.where(small, 0.0, th))
+            a = jnp.where(small, 1.0 - th2 / 6.0, jnp.sin(th) / th)
+            b = jnp.where(small, 0.5 - th2 / 24.0, (1.0 - c) / th2_safe)
+            cross = jnp.cross(w, v)
+            dot = jnp.sum(w * v, axis=-1, keepdims=True)
+            cos_full = jnp.where(small, 1.0 - th2 / 2.0, c)
+            return (
+                v * cos_full[..., None]
+                + cross * a[..., None]
+                + w * (dot * b[..., None])
+            )
+
+        p_t = pts
+        for _ in range(config.rs_iterations):
+            p_t = rotate(pts, t) + t[..., None] * up
+            v_pix = to_pixels(p_t)[..., 1]
+            t = jnp.clip(v_pix / camera.H, 0.0, 1.0) - 0.5
+        p_t = rotate(pts, t) + t[..., None] * up
+        y = to_pixels(p_t)  # (N, 7, 2)
+        # Depth at the center point's own row time (true camera z there).
+        zc = jnp.where(ok, p_t[:, 0, 2], zc)
     else:
-        z_floor = 0.01 * jnp.where(ok, zc, 1.0)
-        z = jnp.maximum(pts[..., 2], z_floor[:, None])
-        xn = pts[..., 0] / z  # (N, 7) normalized image coordinates
-        yn = pts[..., 1] / z
-        xd, yd = apply_lens(camera, xn, yn)
-    y = jnp.stack(
-        [camera.fx * xd + camera.cx, camera.fy * yd + camera.cy],
-        axis=-1,
-    )  # (N, 7, 2)
+        y = to_pixels(pts)  # (N, 7, 2)
 
     w0_m = lam / (d + lam)
     wi = 1.0 / (2.0 * (d + lam))
@@ -422,9 +470,12 @@ def project_gaussians(
     Fisheye cameras are routed to the unscented path regardless of
     config.projection_mode: EWA's linearization (and its guard-band clamp)
     is specific to the perspective map, while the sigma points go through
-    the exact equidistant lens (apply_lens).
+    the exact equidistant lens (apply_lens). Rolling-shutter cameras route
+    the same way — each sigma point carries its own row-time pose, which
+    has no EWA-Jacobian analogue.
     """
-    if config.projection_mode == "ut" or camera.camera_model == "fisheye":
+    if (config.projection_mode == "ut" or camera.camera_model == "fisheye"
+            or camera.shutter == "rolling"):
         means2d, depths, c00_raw, c01_raw, c11_raw = _unscented_cov2d(
             means3d, scales, quats, camera, config
         )

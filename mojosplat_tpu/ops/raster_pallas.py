@@ -71,10 +71,17 @@ def _roll_l(x, s, K):
     return pltpu.roll(x, K - s, axis=1)
 
 
+def _lane_col(K):
+    """(1, K) lane-index iota: every lane mask below varies only along
+    lanes, so a single-sublane iota broadcasts into the selects instead of
+    materializing (P, K) iota/compare chains."""
+    return jax.lax.broadcasted_iota(jnp.int32, (1, K), 1)
+
+
 def _lane_cumprod(x, col, K):
     """Inclusive cumulative product along lanes (Hillis-Steele, log2 K steps).
 
-    ``col`` is a broadcasted lane-index iota of x.shape.
+    ``col`` is a lane-index iota broadcastable to x.shape ((1, K) or full).
     """
     s = 1
     while s < K:
@@ -139,7 +146,7 @@ def _chunk_geometry(g, k, K, px, py, count, config):
     e = jnp.exp(-sigma)
     raw = op * e
     alpha = jnp.minimum(raw, config.max_alpha)
-    col = jax.lax.broadcasted_iota(jnp.int32, alpha.shape, 1)
+    col = _lane_col(K)  # (1, K); lane masks broadcast against (P, K)
     keep = (
         (sigma >= 0.0)
         & (alpha >= config.alpha_threshold)
@@ -198,7 +205,7 @@ def _fwd_kernel(counts_ref, pdata_ref, out_ref, thist_ref,
                 alpha, *_rest = _chunk_geometry(
                     g, k, K, px, py, count, config
                 )
-                col = jax.lax.broadcasted_iota(jnp.int32, alpha.shape, 1)
+                col = _lane_col(K)
                 cum = _lane_cumprod(1.0 - alpha, col, K)
                 t_after = t_in * cum
                 alive = done == 0.0

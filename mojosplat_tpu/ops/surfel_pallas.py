@@ -58,6 +58,7 @@ from .raster_pallas import (
     _OCOLS,
     _chunk_rows,
     _gather_rows,
+    _lane_col,
     _lane_cumprod,
     _lane_excl,
     _lane_rev_cumsum_excl,
@@ -107,7 +108,7 @@ def _surfel_chunk_geometry(g, k, K, px, py, count, config, aux=False):
 
     raw = op * gm
     alpha = jnp.minimum(raw, config.max_alpha)
-    col = jax.lax.broadcasted_iota(jnp.int32, alpha.shape, 1)
+    col = _lane_col(K)  # (1, K); lane masks broadcast against (P, K)
     keep = (alpha >= config.alpha_threshold) & (col + k * K < count)
     alpha = jnp.where(keep, alpha, 0.0)
     geo = dict(
@@ -161,7 +162,7 @@ def _fwd_kernel(counts_ref, pdata_ref, out_ref, thist_ref,
                 alpha, geo = _surfel_chunk_geometry(
                     g, k, K, px, py, count, config, aux=aux
                 )
-                col = jax.lax.broadcasted_iota(jnp.int32, alpha.shape, 1)
+                col = _lane_col(K)
                 cum = _lane_cumprod(1.0 - alpha, col, K)
                 t_after = t_in * cum
                 alive = done == 0.0
@@ -247,7 +248,7 @@ def _bwd_kernel(counts_ref, pdata_ref, gout_ref, thist_ref,
                 alpha, geo = _surfel_chunk_geometry(
                     g, k, K, px, py, count, config, aux=aux
                 )
-                col = jax.lax.broadcasted_iota(jnp.int32, alpha.shape, 1)
+                col = _lane_col(K)
                 cum = _lane_cumprod(1.0 - alpha, col, K)
                 t_after = t_in * cum
                 applied = (t_after > eps) & (th > 0.0)

@@ -123,14 +123,20 @@ def previous_round_value(metric: str) -> float | None:
 # BASELINE.md measurement configs (1-4 single chip; 5 is the sharded
 # training step, exercised by __graft_entry__.dryrun_multichip / the
 # sharding tests since one local chip cannot host a mesh).
+# chunk: sparse workloads (low mean gaussians/tile) prefer K=128 — the
+# count guard is chunk-granular, so K=256 rounds a ~100-slot tile up to a
+# full 256-lane chunk; the dense headline amortizes per-chunk overhead
+# better at 256 (measured: preset 2 55.3M px/s @128 vs 51.0M @256; preset
+# 4 15.7M @256 vs 14.3M @128).
 PRESETS = {
-    1: dict(gaussians=1_000, height=256, width=256, sh_degree=-1, mode="fwd"),
+    1: dict(gaussians=1_000, height=256, width=256, sh_degree=-1, mode="fwd",
+            chunk=128),
     2: dict(gaussians=100_000, height=600, width=800, sh_degree=-1,
-            mode="fwd"),
+            mode="fwd", chunk=128),
     3: dict(gaussians=100_000, height=600, width=800, sh_degree=-1,
-            mode="fwdbwd"),
+            mode="fwdbwd", chunk=128),
     4: dict(gaussians=1_000_000, height=1080, width=1920, sh_degree=3,
-            mode="fwdbwd"),
+            mode="fwdbwd", chunk=256),
 }
 
 

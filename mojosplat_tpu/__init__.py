@@ -11,6 +11,11 @@ Brand-new implementation of the capability surface of bertaveira/mojosplat
   - multi-device sharding via jax.sharding / shard_map (no reference analogue).
 """
 
+from .bilagrid import (
+    apply_bilateral_grid,
+    bilateral_grid_tv,
+    identity_bilateral_grid,
+)
 from .camera import Camera, apply_pose_delta, look_at
 from .config import DEFAULT_CONFIG, RenderConfig
 from .render import RenderAux, render_gaussians
@@ -25,6 +30,9 @@ __all__ = [
     "render_gaussians",
     "render_surfels",
     "RenderAux",
+    "apply_bilateral_grid",
+    "bilateral_grid_tv",
+    "identity_bilateral_grid",
 ]
 
 __version__ = "0.1.0"

@@ -33,7 +33,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from mojosplat_tpu import (
     RenderConfig,
+    apply_bilateral_grid,
     apply_pose_delta,
+    bilateral_grid_tv,
+    identity_bilateral_grid,
     render_gaussians,
 )
 from mojosplat_tpu import train as mtrain
@@ -102,6 +105,17 @@ def main():
                     "(train.apply_exposure) absorbing auto-exposure/white-"
                     "balance drift; optimized with selective Adam")
     ap.add_argument("--exposure-lr", type=float, default=1e-3)
+    ap.add_argument("--bilagrid", action="store_true",
+                    help="per-view bilateral-grid color correction "
+                    "(bilagrid.apply_bilateral_grid): a low-res (16,16,8) "
+                    "grid of 3x4 affines over (y, x, luma) absorbing "
+                    "spatially-varying photometric nuisance (vignetting, "
+                    "local white balance) that the global --exposure-opt "
+                    "affine cannot; optimized with selective Adam")
+    ap.add_argument("--bilagrid-lr", type=float, default=2e-3)
+    ap.add_argument("--bilagrid-tv", type=float, default=10.0,
+                    help="total-variation weight keeping each view's grid "
+                    "smooth so it cannot memorize scene detail")
     ap.add_argument("--intrinsics-opt", action="store_true",
                     help="refine per-view intrinsics: (log-focal x/y, "
                     "principal point x/y) deltas — self-calibration for "
@@ -173,13 +187,15 @@ def main():
     view_opt = optax.multi_transform(
         {"pose": mtrain.selective_adam(args.pose_lr),
          "expo": mtrain.selective_adam(args.exposure_lr),
-         "intr": mtrain.selective_adam(args.intrinsics_lr)},
-        {"pose": "pose", "expo": "expo", "intr": "intr"},
+         "intr": mtrain.selective_adam(args.intrinsics_lr),
+         "bgrid": mtrain.selective_adam(args.bilagrid_lr)},
+        {"pose": "pose", "expo": "expo", "intr": "intr", "bgrid": "bgrid"},
     )
     view_params = {
         "pose": jnp.zeros((len(views), 6), jnp.float32),
         "expo": mtrain.identity_exposure(len(views)),
         "intr": jnp.zeros((len(views), 4), jnp.float32),
+        "bgrid": identity_bilateral_grid(len(views)),
     }
     view_state = view_opt.init(view_params)
 
@@ -230,9 +246,18 @@ def main():
             )
             if args.exposure_opt:
                 img = mtrain.apply_exposure(img, v["expo"][view_idx])
+            if args.bilagrid:
+                img = apply_bilateral_grid(img, v["bgrid"][view_idx])
             loss = mtrain.dssim_l1_loss(
                 img, target, ssim_weight=args.ssim_weight
             )
+            if args.bilagrid:
+                # TV on THIS view's grid only: other views' rows keep an
+                # exactly-zero gradient, so selective Adam leaves them
+                # frozen (same contract as pose/exposure).
+                loss = loss + args.bilagrid_tv * bilateral_grid_tv(
+                    v["bgrid"][view_idx]
+                )
             if mcmc:
                 loss = loss + mcmc_regularization(params, mcfg)
             return loss
@@ -244,7 +269,8 @@ def main():
             grads, st.opt_state, st.params
         )
         params = optax.apply_updates(st.params, updates)
-        if args.pose_opt or args.exposure_opt or args.intrinsics_opt:
+        if (args.pose_opt or args.exposure_opt or args.intrinsics_opt
+                or args.bilagrid):
             vd, vstate = view_opt.update(view_grads, vstate, vp)
             vp = optax.apply_updates(vp, vd)
         if mcmc:
@@ -320,6 +346,12 @@ def main():
         print(f"exposure refinement: mean |affine - identity| "
               f"{dev.mean():.5f} (max {dev.max():.5f})")
         np.save(os.path.join(args.out_dir, "exposure_affines.npy"), e)
+    if args.bilagrid:
+        g = np.asarray(view_params["bgrid"])
+        dev = np.abs(g - np.asarray(identity_bilateral_grid(len(views))))
+        print(f"bilateral grids: mean |grid - identity| {dev.mean():.5f} "
+              f"(max {dev.max():.5f})")
+        np.save(os.path.join(args.out_dir, "bilateral_grids.npy"), g)
     if args.intrinsics_opt:
         di = np.asarray(view_params["intr"])
         print(f"intrinsics refinement: mean |dlog f| "

@@ -44,6 +44,15 @@ def main():
     ap.add_argument("--tile-capacity", type=int, default=512)
     ap.add_argument("--save-renders", default=None,
                     help="directory to dump rendered test views")
+    ap.add_argument("--appearance-opt", default="none",
+                    choices=["none", "affine", "bilagrid"],
+                    help="test-time appearance optimization (the nerf-w "
+                    "protocol for appearance-variant captures): fit the "
+                    "per-view correction — a 3x4 affine or a bilateral "
+                    "grid — on the LEFT half of each ground-truth image, "
+                    "report metrics on the RIGHT half (corrected and raw)")
+    ap.add_argument("--appearance-steps", type=int, default=100)
+    ap.add_argument("--appearance-lr", type=float, default=5e-3)
     args = ap.parse_args()
 
     sparse = args.sparse or os.path.join(args.data, "sparse", "0")
@@ -82,6 +91,51 @@ def main():
     if args.save_renders:
         os.makedirs(args.save_renders, exist_ok=True)
 
+    app = args.appearance_opt
+    if app != "none":
+        import optax
+
+        from mojosplat_tpu import (
+            apply_bilateral_grid,
+            bilateral_grid_tv,
+            identity_bilateral_grid,
+        )
+
+        opt = optax.adam(args.appearance_lr)
+        # Fit on full-image coordinates with the loss masked to the left
+        # half (keeps the bilateral grid's spatial axes aligned), then
+        # score on the right half — the correction never sees the pixels
+        # it is judged on.
+        left = (jnp.arange(W) < W // 2).astype(jnp.float32)[None, :, None]
+
+        def correct(img, a):
+            return (mtrain.apply_exposure(img, a) if app == "affine"
+                    else apply_bilateral_grid(img, a))
+
+        @jax.jit
+        def fit_and_correct(img, tgt):
+            a0 = (mtrain.identity_exposure(1)[0] if app == "affine"
+                  else identity_bilateral_grid(1)[0])
+
+            def loss(a):
+                err = (correct(img, a) - tgt) ** 2 * left
+                l = err.sum() / (left.sum() * img.shape[-1])
+                if app == "bilagrid":
+                    l = l + 10.0 * bilateral_grid_tv(a[None])
+                return l
+
+            def body(carry, _):
+                a, st = carry
+                g = jax.grad(loss)(a)
+                u, st = opt.update(g, st)
+                return (optax.apply_updates(a, u), st), None
+
+            (a, _), _ = jax.lax.scan(
+                body, (a0, opt.init(a0)), None,
+                length=args.appearance_steps,
+            )
+            return correct(img, a)
+
     rows = []
     for v, target in zip(views, images):
         cam = scene.camera_for(v, args.downscale)
@@ -92,9 +146,20 @@ def main():
             "psnr": float(psnr(img, tgt)),
             "ssim": float(mtrain.ssim(img, tgt)),
         }
+        if app != "none":
+            fixed = fit_and_correct(img, tgt)
+            half = W // 2
+            row["psnr_right_corrected"] = float(
+                psnr(fixed[:, half:], tgt[:, half:])
+            )
+            row["psnr_right_raw"] = float(
+                psnr(img[:, half:], tgt[:, half:])
+            )
         rows.append(row)
+        extra = (f"  corrected-right {row['psnr_right_corrected']:6.2f}"
+                 if app != "none" else "")
         print(f"  {row['view']:>24}  PSNR {row['psnr']:6.2f}  "
-              f"SSIM {row['ssim']:.4f}")
+              f"SSIM {row['ssim']:.4f}{extra}")
         if args.save_renders:
             save_png(img, os.path.join(
                 args.save_renders, os.path.basename(v.name) + ".render.png"
@@ -105,6 +170,13 @@ def main():
         "mean_psnr": float(np.mean([r["psnr"] for r in rows])),
         "mean_ssim": float(np.mean([r["ssim"] for r in rows])),
     }
+    if app != "none":
+        summary["mean_psnr_right_corrected"] = float(
+            np.mean([r["psnr_right_corrected"] for r in rows])
+        )
+        summary["mean_psnr_right_raw"] = float(
+            np.mean([r["psnr_right_raw"] for r in rows])
+        )
     print(json.dumps(summary))
 
 

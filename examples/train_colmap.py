@@ -87,14 +87,24 @@ def main():
     ap.add_argument("--out-dir", default="output/train_colmap")
     ap.add_argument("--save-every", type=int, default=500)
     ap.add_argument(
-        "--strategy", default="none", choices=["none", "mcmc"],
+        "--strategy", default="none", choices=["none", "mcmc", "adc"],
         help="density control: 'mcmc' = 3DGS-MCMC relocation + opacity-"
-        "gated noise + L1 regularizers (fixed capacity; fills the padded "
-        "slots with detail). The clone/split 'adc' family is demonstrated "
-        "in train_demo.py.",
+        "gated noise + L1 regularizers; 'adc' = the INRIA clone/split/"
+        "prune family driven by accumulated view-space positional "
+        "gradients. Both run at fixed capacity (padded slots).",
     )
     ap.add_argument("--densify-every", type=int, default=100,
-                    help="steps between MCMC relocation events")
+                    help="steps between density-control events")
+    ap.add_argument("--densify-grad-threshold", type=float, default=2e-6,
+                    help="ADC mean view-space gradient threshold for "
+                    "clone/split candidates")
+    ap.add_argument("--absgrad", action="store_true",
+                    help="ADC statistic = absolute per-tile view-space "
+                    "gradients (AbsGS; needs --impl pallas; use a 2-4x "
+                    "higher --densify-grad-threshold)")
+    ap.add_argument("--opacity-reset-every", type=int, default=0,
+                    help="INRIA periodic opacity reset (e.g. 3000): clamp "
+                    "live opacities so ADC pruning can reclaim stale slots")
     ap.add_argument("--pose-opt", action="store_true",
                     help="jointly refine camera poses: per-view se(3) "
                     "deltas (apply_pose_delta) optimized with selective "
@@ -179,6 +189,36 @@ def main():
         mcfg = MCMCConfig()
         relocate_fn = jax.jit(functools.partial(mcmc_relocate, config=mcfg))
 
+    adc = args.strategy == "adc"
+    if adc:
+        from mojosplat_tpu.densify import (
+            DensifyConfig,
+            DensifyState,
+            accumulate_stats,
+            densify_and_prune,
+            reset_opacities,
+        )
+        from mojosplat_tpu.ops.projection import project_gaussians
+
+        # Scene extent for the split/clone size thresholds: radius of the
+        # camera rig (the INRIA trainer's cameras_extent).
+        centers = -np.einsum(
+            "vji,vj->vi", np.asarray(cams.R), np.asarray(cams.T)
+        )
+        extent = float(
+            1.1 * np.max(np.linalg.norm(centers - centers.mean(0), axis=-1))
+        ) or 1.0
+        print(f"  ADC scene extent {extent:.3f}")
+        densify_fn = jax.jit(functools.partial(
+            densify_and_prune, scene_extent=extent,
+            config=DensifyConfig(
+                grad_threshold=args.densify_grad_threshold
+            ),
+        ))
+        dstate = DensifyState.zero(cap)
+    else:
+        dstate = None
+
     # Per-view nuisance state (pose se(3) deltas, exposure affines),
     # stepped by selective Adam with per-group learning rates: only the
     # view rendered this step has a nonzero gradient row; the others keep
@@ -228,10 +268,9 @@ def main():
             shutil.rmtree(ckpt_dir)
         os.rename(tmp, ckpt_dir)
 
-    @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
-    def step_fn(st, vp, vstate, view_idx, cam, target, key):
-        def loss_fn(params, v):
-            p = mtrain.activate(params)
+    @functools.partial(jax.jit, donate_argnums=(0, 1, 2, 3))
+    def step_fn(st, vp, vstate, dstate, view_idx, cam, target, key):
+        def posed(v):
             c = (apply_pose_delta(cam, v["pose"][view_idx])
                  if args.pose_opt else cam)
             if args.intrinsics_opt:
@@ -240,9 +279,21 @@ def main():
                     c, fx=c.fx * jnp.exp(di[0]), fy=c.fy * jnp.exp(di[1]),
                     cx=c.cx + di[2], cy=c.cy + di[3],
                 )
+            return c
+
+        def loss_fn(params, v, offset):
+            p = mtrain.activate(params)
+            c = posed(v)
+            sink = {}
+            if adc:
+                # Zero view-space offset whose cotangent is the per-step
+                # positional-gradient statistic driving clone/split.
+                sink = ({"absgrad_sink": offset} if args.absgrad
+                        else {"means2d_offset": offset})
             img = render_gaussians(
                 p["means3d"], p["scales"], p["quats"], p["opacities"],
                 p["features"], c, sh_degree=args.sh_degree, config=config,
+                **sink,
             )
             if args.exposure_opt:
                 img = mtrain.apply_exposure(img, v["expo"][view_idx])
@@ -262,9 +313,21 @@ def main():
                 loss = loss + mcmc_regularization(params, mcfg)
             return loss
 
-        loss, (grads, view_grads) = jax.value_and_grad(
-            loss_fn, argnums=(0, 1)
-        )(st.params, vp)
+        offset0 = jnp.zeros((cap, 2), jnp.float32)
+        if adc:
+            loss, (grads, view_grads, ograd) = jax.value_and_grad(
+                loss_fn, argnums=(0, 1, 2)
+            )(st.params, vp, offset0)
+            p = mtrain.activate(st.params)
+            proj = project_gaussians(
+                p["means3d"], p["scales"], p["quats"], p["opacities"],
+                posed(vp), config,
+            )
+            dstate = accumulate_stats(dstate, ograd, proj.radii[:, 0] > 0)
+        else:
+            loss, (grads, view_grads) = jax.value_and_grad(
+                loss_fn, argnums=(0, 1)
+            )(st.params, vp, offset0)
         updates, opt_state = optimizer.update(
             grads, st.opt_state, st.params
         )
@@ -279,7 +342,7 @@ def main():
             params = mcmc_position_noise(params, key, args.lr, mcfg)
         return (
             mtrain.TrainState(params, opt_state, st.step + 1),
-            vp, vstate, loss,
+            vp, vstate, dstate, loss,
         )
 
     @jax.jit
@@ -300,11 +363,33 @@ def main():
     losses = []
     for step in range(start_step, args.steps):
         i = int(rng.integers(n_views))
-        state, view_params, view_state, loss = step_fn(
-            state, view_params, view_state, jnp.int32(i), cam_at(i),
-            targets[i], jax.random.fold_in(base_key, step),
+        state, view_params, view_state, dstate, loss = step_fn(
+            state, view_params, view_state, dstate, jnp.int32(i),
+            cam_at(i), targets[i], jax.random.fold_in(base_key, step),
         )
         losses.append(loss)
+        if adc and (step + 1) % args.densify_every == 0 \
+                and step + 1 < args.steps:
+            params, dstate, metrics = densify_fn(
+                state.params, dstate,
+                jax.random.fold_in(base_key, 2 * args.steps + step + 1),
+            )
+            # Fresh optimizer state for the mutated parameter set.
+            state = mtrain.TrainState(
+                params, optimizer.init(params), state.step
+            )
+            print(f"  [densify: +{int(metrics['cloned'])} cloned, "
+                  f"+{int(metrics['split'])} split, "
+                  f"-{int(metrics['pruned'])} pruned, "
+                  f"{int(metrics['alive'])} alive]", flush=True)
+        if adc and args.opacity_reset_every and \
+                (step + 1) % args.opacity_reset_every == 0 \
+                and step + 1 < args.steps:
+            params = reset_opacities(state.params)
+            state = mtrain.TrainState(
+                params, optimizer.init(params), state.step
+            )
+            print("  [opacity reset]", flush=True)
         if mcmc and (step + 1) % args.densify_every == 0 \
                 and step + 1 < args.steps:
             params, metrics = relocate_fn(

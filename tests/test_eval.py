@@ -90,3 +90,46 @@ def test_eval_harness_round_trip(capture, capsys):
     assert summary["views"] == 1
     assert summary["mean_psnr"] > 45.0  # 8-bit PNG quantization ceiling
     assert summary["mean_ssim"] > 0.99
+
+
+def test_eval_appearance_opt(capture, tmp_path, capsys):
+    """Test-time appearance optimization (nerf-w protocol): on a capture
+    whose ground truth carries a global color tint the scene cannot explain,
+    the affine fitted on the left half must lift right-half PSNR well above
+    the raw render's."""
+    import shutil
+
+    from PIL import Image
+
+    root, ply = capture
+    tinted_root = tmp_path / "tinted"
+    shutil.copytree(root, tinted_root)
+    for f in (tinted_root / "images").iterdir():
+        img = np.asarray(Image.open(f).convert("RGB"), np.float32) / 255.0
+        tinted = np.clip(img * np.array([1.2, 0.8, 1.0]) + 0.03, 0, 1)
+        Image.fromarray(
+            (tinted * 255).round().astype(np.uint8)
+        ).save(f)
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, os.path.join(repo, "examples"))
+    argv = sys.argv
+    sys.argv = [
+        "x", "--data", str(tinted_root), "--ply", str(ply),
+        "--downscale", "1", "--every", "1", "--impl", "xla",
+        "--appearance-opt", "affine", "--appearance-steps", "150",
+        "--appearance-lr", "1e-2",
+    ]
+    try:
+        import runpy
+
+        runpy.run_path(
+            os.path.join(repo, "examples", "eval_colmap.py"),
+            run_name="__main__",
+        )
+    finally:
+        sys.argv = argv
+    out = capsys.readouterr().out.strip().splitlines()
+    summary = json.loads(out[-1])
+    assert (summary["mean_psnr_right_corrected"]
+            > summary["mean_psnr_right_raw"] + 3.0), summary

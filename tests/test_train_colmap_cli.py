@@ -118,3 +118,32 @@ def test_train_cli_with_bilagrid(capture, capsys):
     dev = np.abs(grids - ident).mean()
     assert dev > 1e-4, f"grids stayed at identity (mean dev {dev})"
     assert "bilateral grids" in out
+
+
+def test_train_cli_with_adc(capture, capsys):
+    """--strategy adc: clone/split/prune density control driven by the
+    accumulated view-space gradient statistic, inside the COLMAP trainer."""
+    root = capture
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out_dir = str(root / "out_adc")
+    argv = sys.argv
+    sys.argv = [
+        "x", "--data", str(root), "--downscale", "1", "--steps", "12",
+        "--impl", "xla", "--max-gaussians", "256", "--sh-degree", "0",
+        "--strategy", "adc", "--densify-every", "5",
+        "--densify-grad-threshold", "1e-7", "--opacity-reset-every", "10",
+        "--out-dir", out_dir, "--save-every", "0",
+    ]
+    try:
+        import runpy
+
+        runpy.run_path(
+            os.path.join(repo, "examples", "train_colmap.py"),
+            run_name="__main__",
+        )
+    finally:
+        sys.argv = argv
+    out = capsys.readouterr().out
+    assert os.path.exists(os.path.join(out_dir, "scene_final.ply"))
+    assert "[densify:" in out and "[opacity reset]" in out
+    assert "ADC scene extent" in out

@@ -105,6 +105,16 @@ def main():
     ap.add_argument("--opacity-reset-every", type=int, default=0,
                     help="INRIA periodic opacity reset (e.g. 3000): clamp "
                     "live opacities so ADC pruning can reclaim stale slots")
+    ap.add_argument("--sh-warmup-every", type=int, default=0,
+                    help="raise the active SH degree by one every N steps "
+                    "(INRIA schedule: 1000), starting from DC only; the "
+                    "full coefficient set is allocated up front so each "
+                    "degree is one recompile, no reshapes")
+    ap.add_argument("--depth-loss", type=float, default=0.0,
+                    help="weight of the sparse SfM depth supervision "
+                    "(L1 disparity at the COLMAP keypoints, "
+                    "train.sparse_depth_loss); anchors geometry to the "
+                    "triangulation so floaters collapse")
     ap.add_argument("--pose-opt", action="store_true",
                     help="jointly refine camera poses: per-view se(3) "
                     "deltas (apply_pose_delta) optimized with selective "
@@ -141,7 +151,7 @@ def main():
 
     sparse = args.sparse or os.path.join(args.data, "sparse", "0")
     print(f"Loading COLMAP model from {sparse}")
-    scene = cm.load_scene(sparse)
+    scene = cm.load_scene(sparse, with_points2d=args.depth_loss > 0)
     print(f"  {len(scene.cameras)} cameras, {len(scene.images)} images, "
           f"{scene.points_xyz.shape[0]} points")
 
@@ -155,6 +165,20 @@ def main():
     cameras = [scene.camera_for(v, args.downscale) for v in views]
     cams = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *cameras)
     print(f"  {len(views)} views at {W}x{H}")
+
+    depth_sup = args.depth_loss > 0
+    if depth_sup:
+        uv_np, dz_np, dm_np = cm.sparse_depth_targets(
+            scene, views, args.downscale
+        )
+        dt_uv, dt_z, dt_m = map(jnp.asarray, (uv_np, dz_np, dm_np))
+        print(f"  depth supervision: {int(dm_np.sum())} SfM targets "
+              f"({dm_np.shape[1]} slots/view)")
+    else:
+        # Unused placeholders so step_fn keeps one signature.
+        dt_uv = jnp.zeros((len(views), 1, 2), jnp.float32)
+        dt_z = jnp.ones((len(views), 1), jnp.float32)
+        dt_m = jnp.zeros((len(views), 1), bool)
 
     # Static parameter capacity: pad the SfM cloud up to a fixed bucket so
     # the whole run is one compile.
@@ -268,8 +292,11 @@ def main():
             shutil.rmtree(ckpt_dir)
         os.rename(tmp, ckpt_dir)
 
-    @functools.partial(jax.jit, donate_argnums=(0, 1, 2, 3))
-    def step_fn(st, vp, vstate, dstate, view_idx, cam, target, key):
+    @functools.partial(
+        jax.jit, donate_argnums=(0, 1, 2, 3), static_argnums=(11,)
+    )
+    def step_fn(st, vp, vstate, dstate, view_idx, cam, target, key,
+                duv, dz, dm, sh_deg):
         def posed(v):
             c = (apply_pose_delta(cam, v["pose"][view_idx])
                  if args.pose_opt else cam)
@@ -290,11 +317,19 @@ def main():
                 # positional-gradient statistic driving clone/split.
                 sink = ({"absgrad_sink": offset} if args.absgrad
                         else {"means2d_offset": offset})
-            img = render_gaussians(
-                p["means3d"], p["scales"], p["quats"], p["opacities"],
-                p["features"], c, sh_degree=args.sh_degree, config=config,
-                **sink,
-            )
+            if depth_sup:
+                img, dmap, raux = render_gaussians(
+                    p["means3d"], p["scales"], p["quats"], p["opacities"],
+                    p["features"], c, sh_degree=sh_deg,
+                    config=config, return_depth=True, return_aux=True,
+                    **sink,
+                )
+            else:
+                img = render_gaussians(
+                    p["means3d"], p["scales"], p["quats"], p["opacities"],
+                    p["features"], c, sh_degree=sh_deg,
+                    config=config, **sink,
+                )
             if args.exposure_opt:
                 img = mtrain.apply_exposure(img, v["expo"][view_idx])
             if args.bilagrid:
@@ -308,6 +343,11 @@ def main():
                 # frozen (same contract as pose/exposure).
                 loss = loss + args.bilagrid_tv * bilateral_grid_tv(
                     v["bgrid"][view_idx]
+                )
+            if depth_sup:
+                alpha = 1.0 - raux.raster.final_transmittance
+                loss = loss + args.depth_loss * mtrain.sparse_depth_loss(
+                    dmap, alpha, duv, dz, dm
                 )
             if mcmc:
                 loss = loss + mcmc_regularization(params, mcfg)
@@ -363,9 +403,12 @@ def main():
     losses = []
     for step in range(start_step, args.steps):
         i = int(rng.integers(n_views))
+        active_sh = (min(args.sh_degree, step // args.sh_warmup_every)
+                     if args.sh_warmup_every else args.sh_degree)
         state, view_params, view_state, dstate, loss = step_fn(
             state, view_params, view_state, dstate, jnp.int32(i),
             cam_at(i), targets[i], jax.random.fold_in(base_key, step),
+            dt_uv[i], dt_z[i], dt_m[i], active_sh,
         )
         losses.append(loss)
         if adc and (step + 1) % args.densify_every == 0 \

@@ -567,6 +567,38 @@ def train_step_sharded_surfel(
     return TrainState(params, opt_state, step), loss
 
 
+def sparse_depth_loss(
+    depth: jax.Array,  # (H, W) accumulated (alpha-weighted) depth
+    alpha: jax.Array,  # (H, W) accumulated opacity = 1 - final transmittance
+    uv: jax.Array,  # (K, 2) pixel coords of SfM observations
+    depth_gt: jax.Array,  # (K,) camera-frame z of the triangulated points
+    mask: jax.Array,  # (K,) bool, valid targets
+    eps: float = 1e-6,
+) -> jax.Array:
+    """L1 disparity loss at sparse SfM keypoints — the depth-supervised
+    training mode of contemporary 3DGS trainers (gsplat's depth_loss):
+    anchor the rendered geometry to the COLMAP triangulation so floaters
+    collapse and scale stays metric. Targets come from
+    utils.colmap.sparse_depth_targets.
+
+    The rendered disparity is ``alpha / (depth + eps)`` — algebraically
+    1/expected-depth, but smooth and select-free: uncovered pixels
+    (alpha -> 0) contribute a bounded ``1/depth_gt`` error instead of a
+    NaN/Inf (this repo's double-where lesson: sanitize with the algebra,
+    not with selects).
+    """
+    H, W = depth.shape
+    ix = jnp.clip(jnp.round(uv[:, 0]).astype(jnp.int32), 0, W - 1)
+    iy = jnp.clip(jnp.round(uv[:, 1]).astype(jnp.int32), 0, H - 1)
+    flat = iy * W + ix
+    d = jnp.take(depth.reshape(-1), flat)
+    a = jnp.take(alpha.reshape(-1), flat)
+    disp = a / (d + eps)
+    err = jnp.abs(disp - 1.0 / jnp.maximum(depth_gt, eps))
+    m = mask.astype(depth.dtype)
+    return jnp.sum(err * m) / jnp.maximum(jnp.sum(m), 1.0)
+
+
 def apply_exposure(image: jax.Array, affine: jax.Array) -> jax.Array:
     """Per-view affine color correction: (H, W, 3) image, (3, 4) affine
     [A | b] -> image @ A^T + b.

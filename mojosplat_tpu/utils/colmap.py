@@ -49,6 +49,9 @@ class ColmapImage:
     tvec: np.ndarray  # (3,) world-to-camera translation
     camera_id: int
     name: str
+    # 2D keypoint observations (load_scene(with_points2d=True) only):
+    xys: np.ndarray | None = None  # (n_obs, 2) pixel coords, full-res
+    point3d_ids: np.ndarray | None = None  # (n_obs,) int64, -1 = untracked
 
 
 def _read_cameras_python(path: str) -> list[ColmapCamera]:
@@ -66,7 +69,9 @@ def _read_cameras_python(path: str) -> list[ColmapCamera]:
     return out
 
 
-def _read_images_python(path: str) -> list[ColmapImage]:
+def _read_images_python(
+    path: str, with_points2d: bool = False
+) -> list[ColmapImage]:
     out = []
     with open(path, "rb") as f:
         (n,) = struct.unpack("<Q", f.read(8))
@@ -82,28 +87,44 @@ def _read_images_python(path: str) -> list[ColmapImage]:
                     break
                 name += c
             (npts,) = struct.unpack("<Q", f.read(8))
-            f.seek(npts * 24, os.SEEK_CUR)
+            xys = p3d = None
+            if with_points2d and npts:
+                # Each record: x (f8), y (f8), point3D_id (i8).
+                rec = np.frombuffer(f.read(npts * 24), dtype="<f8")
+                rec = rec.reshape(npts, 3)
+                xys = rec[:, :2].astype(np.float32)
+                p3d = np.ascontiguousarray(rec[:, 2]).view("<i8")
+            else:
+                f.seek(npts * 24, os.SEEK_CUR)
             out.append(
                 ColmapImage(image_id, qvec, tvec, camera_id,
-                            name.decode("utf-8", "replace"))
+                            name.decode("utf-8", "replace"),
+                            xys=xys, point3d_ids=p3d)
             )
     return out
 
 
-def _read_points_python(path: str) -> tuple[np.ndarray, np.ndarray]:
-    xyzs, rgbs = [], []
+def _read_points_python(
+    path: str, with_ids: bool = False
+):
+    xyzs, rgbs, ids = [], [], []
     with open(path, "rb") as f:
         (n,) = struct.unpack("<Q", f.read(8))
         for _ in range(n):
-            f.read(8)  # point3D_id
+            (pid,) = struct.unpack("<Q", f.read(8))
             xyzs.append(np.frombuffer(f.read(24), dtype="<f8").copy())
             rgbs.append(np.frombuffer(f.read(3), dtype=np.uint8).copy())
             f.read(8)  # reprojection error
             (track,) = struct.unpack("<Q", f.read(8))
             f.seek(track * 8, os.SEEK_CUR)
+            ids.append(pid)
     if not xyzs:
-        return np.zeros((0, 3)), np.zeros((0, 3), np.uint8)
-    return np.stack(xyzs), np.stack(rgbs)
+        out = (np.zeros((0, 3)), np.zeros((0, 3), np.uint8))
+    else:
+        out = (np.stack(xyzs), np.stack(rgbs))
+    if with_ids:
+        return out + (np.asarray(ids, np.int64),)
+    return out
 
 
 def read_cameras_bin(path: str) -> list[ColmapCamera]:
@@ -210,6 +231,7 @@ class ColmapScene:
     images: list[ColmapImage]
     points_xyz: np.ndarray  # (P, 3) float32
     points_rgb: np.ndarray  # (P, 3) float32 in [0, 1]
+    points_id: np.ndarray | None = None  # (P,) int64 (with_points2d only)
 
     def camera_for(self, image: ColmapImage, downscale: int = 1):
         """Build a render Camera (jax pytree) for one registered image."""
@@ -225,18 +247,95 @@ class ColmapScene:
         )
 
 
-def load_scene(sparse_dir: str) -> ColmapScene:
+def load_scene(
+    sparse_dir: str, with_points2d: bool = False
+) -> ColmapScene:
     """Load ``cameras.bin`` / ``images.bin`` / ``points3D.bin`` from a COLMAP
-    sparse-model directory (typically ``<capture>/sparse/0``)."""
+    sparse-model directory (typically ``<capture>/sparse/0``).
+
+    ``with_points2d=True`` additionally retains each image's 2D keypoint
+    observations and the point3D id table (Python parsing path), enabling
+    :func:`sparse_depth_targets` for depth-supervised training."""
     cams = read_cameras_bin(os.path.join(sparse_dir, "cameras.bin"))
-    images = read_images_bin(os.path.join(sparse_dir, "images.bin"))
-    xyz, rgb = read_points3d_bin(os.path.join(sparse_dir, "points3D.bin"))
+    if with_points2d:
+        images = _read_images_python(
+            os.path.join(sparse_dir, "images.bin"), with_points2d=True
+        )
+        xyz, rgb, pids = _read_points_python(
+            os.path.join(sparse_dir, "points3D.bin"), with_ids=True
+        )
+    else:
+        images = read_images_bin(os.path.join(sparse_dir, "images.bin"))
+        xyz, rgb = read_points3d_bin(
+            os.path.join(sparse_dir, "points3D.bin")
+        )
+        pids = None
     return ColmapScene(
         cameras={c.camera_id: c for c in cams},
         images=sorted(images, key=lambda im: im.name),
         points_xyz=xyz.astype(np.float32),
         points_rgb=rgb.astype(np.float32) / 255.0,
+        points_id=pids,
     )
+
+
+def sparse_depth_targets(
+    scene: ColmapScene,
+    views: list[ColmapImage],
+    downscale: int = 1,
+    capacity: int | None = None,
+):
+    """Per-view sparse depth supervision from the SfM observations.
+
+    For each view, every tracked 2D keypoint becomes one (u, v, depth)
+    target: pixel coordinates at the training resolution and the camera-
+    frame z of its triangulated 3D point (the supervision signal gsplat's
+    depth-loss training mode derives the same way). Points behind the
+    camera or outside the image are dropped. Lists are padded to a fixed
+    ``capacity`` (default: max count rounded up to 256) so the training
+    step stays one compile.
+
+    Requires ``load_scene(with_points2d=True)``. Returns (uv (V, K, 2)
+    float32, depth (V, K) float32, mask (V, K) bool).
+    """
+    if scene.points_id is None:
+        raise ValueError("load the scene with with_points2d=True")
+    id_to_idx = {int(pid): i for i, pid in enumerate(scene.points_id)}
+    per_uv, per_z = [], []
+    for im in views:
+        if im.xys is None or im.point3d_ids is None or not len(im.xys):
+            per_uv.append(np.zeros((0, 2), np.float32))
+            per_z.append(np.zeros((0,), np.float32))
+            continue
+        cam = scene.cameras[im.camera_id]
+        W = cam.width // downscale
+        H = cam.height // downscale
+        tracked = im.point3d_ids >= 0
+        idx = np.array(
+            [id_to_idx.get(int(p), -1) for p in im.point3d_ids[tracked]],
+            np.int64,
+        )
+        uv = im.xys[tracked][idx >= 0] / float(downscale)
+        xyz = scene.points_xyz[idx[idx >= 0]]
+        z = (xyz @ qvec_to_rotmat(im.qvec).T + im.tvec)[:, 2]
+        keep = (
+            (z > 1e-3)
+            & (uv[:, 0] >= 0) & (uv[:, 0] < W)
+            & (uv[:, 1] >= 0) & (uv[:, 1] < H)
+        )
+        per_uv.append(uv[keep].astype(np.float32))
+        per_z.append(z[keep].astype(np.float32))
+    K = capacity or max(1, -(-max(len(z) for z in per_z) // 256) * 256)
+    V = len(views)
+    uv = np.zeros((V, K, 2), np.float32)
+    depth = np.ones((V, K), np.float32)
+    mask = np.zeros((V, K), bool)
+    for i, (u, z) in enumerate(zip(per_uv, per_z)):
+        k = min(len(z), K)
+        uv[i, :k] = u[:k]
+        depth[i, :k] = z[:k]
+        mask[i, :k] = True
+    return uv, depth, mask
 
 
 def init_gaussians_from_points(

@@ -192,3 +192,103 @@ def test_renders_from_colmap_camera(sparse_dir):
     )
     assert img.shape == (cam.H, cam.W, 3)
     assert bool(jnp.all(jnp.isfinite(img)))
+
+
+@pytest.fixture(scope="module")
+def depth_sparse_dir(tmp_path_factory):
+    """One identity-pose image observing 3 tracked points (+1 untracked
+    keypoint), for the sparse-depth supervision path."""
+    d = tmp_path_factory.mktemp("sparse_depth")
+    W, H, f = 640, 480, 500.0
+    with open(d / "cameras.bin", "wb") as fo:
+        fo.write(struct.pack("<Q", 1))
+        fo.write(struct.pack("<iiQQ", 1, 1, W, H))
+        fo.write(struct.pack("<4d", f, f, W / 2, H / 2))
+    pts = np.array([[0.0, 0.0, 4.0], [0.4, -0.2, 2.0], [-0.3, 0.3, 5.0]])
+    with open(d / "images.bin", "wb") as fo:
+        fo.write(struct.pack("<Q", 1))
+        fo.write(struct.pack("<i", 1))
+        fo.write(struct.pack("<4d", 1.0, 0.0, 0.0, 0.0))
+        fo.write(struct.pack("<3d", 0.0, 0.0, 0.0))
+        fo.write(struct.pack("<i", 1))
+        fo.write(b"v.png\x00")
+        fo.write(struct.pack("<Q", 4))
+        for j, p in enumerate(pts):
+            u = f * p[0] / p[2] + W / 2
+            v = f * p[1] / p[2] + H / 2
+            fo.write(struct.pack("<ddq", u, v, 100 + j))
+        fo.write(struct.pack("<ddq", 5.0, 5.0, -1))  # untracked
+    with open(d / "points3D.bin", "wb") as fo:
+        fo.write(struct.pack("<Q", 3))
+        for j, p in enumerate(pts):
+            fo.write(struct.pack("<Q", 100 + j))
+            fo.write(struct.pack("<3d", *p))
+            fo.write(struct.pack("<3B", 10, 20, 30))
+            fo.write(struct.pack("<d", 0.1))
+            fo.write(struct.pack("<Q", 0))
+    return d, pts, (W, H, f)
+
+
+def test_load_scene_with_points2d(depth_sparse_dir):
+    d, pts, (W, H, f) = depth_sparse_dir
+    scene = cm.load_scene(str(d), with_points2d=True)
+    im = scene.images[0]
+    assert im.xys.shape == (4, 2)
+    assert list(im.point3d_ids) == [100, 101, 102, -1]
+    np.testing.assert_array_equal(scene.points_id, [100, 101, 102])
+    # Default load path is unchanged (observations skipped).
+    plain = cm.load_scene(str(d))
+    assert plain.images[0].xys is None and plain.points_id is None
+
+
+def test_sparse_depth_targets(depth_sparse_dir):
+    d, pts, (W, H, f) = depth_sparse_dir
+    scene = cm.load_scene(str(d), with_points2d=True)
+    uv, depth, mask = cm.sparse_depth_targets(scene, scene.images, 1)
+    assert uv.shape[0] == 1 and uv.shape[2] == 2
+    assert int(mask.sum()) == 3  # untracked keypoint dropped
+    np.testing.assert_allclose(depth[0, :3], pts[:, 2], rtol=1e-5)
+    # Identity pose: targets reproject exactly.
+    np.testing.assert_allclose(
+        uv[0, :3, 0], f * pts[:, 0] / pts[:, 2] + W / 2, rtol=1e-5
+    )
+    # Downscale halves the pixel coordinates, not the depths.
+    uv2, depth2, _ = cm.sparse_depth_targets(scene, scene.images, 2)
+    np.testing.assert_allclose(uv2[0, :3], uv[0, :3] / 2, rtol=1e-5)
+    np.testing.assert_allclose(depth2[0, :3], depth[0, :3], rtol=1e-6)
+
+
+def test_sparse_depth_loss_math():
+    import jax
+    import jax.numpy as jnp
+
+    from mojosplat_tpu.train import sparse_depth_loss
+
+    H, W = 16, 24
+    # Fully covered render whose expected depth is 2.0 everywhere.
+    depth_map = jnp.full((H, W), 2.0)
+    alpha = jnp.ones((H, W))
+    uv = jnp.array([[3.0, 4.0], [10.0, 7.0]])
+    mask = jnp.array([True, True])
+    # Perfect depths -> zero loss.
+    assert float(
+        sparse_depth_loss(depth_map, alpha, uv, jnp.full((2,), 2.0), mask)
+    ) < 1e-5
+    # Disparity-space L1: |1/2 - 1/4| = 0.25 per point.
+    val = float(
+        sparse_depth_loss(depth_map, alpha, uv, jnp.full((2,), 4.0), mask)
+    )
+    np.testing.assert_allclose(val, 0.25, rtol=1e-4)
+    # Masked-out points do not contribute.
+    val2 = float(sparse_depth_loss(
+        depth_map, alpha, uv, jnp.array([2.0, 4.0]),
+        jnp.array([False, True]),
+    ))
+    np.testing.assert_allclose(val2, 0.25, rtol=1e-4)
+    # Uncovered pixels (alpha=0) give a bounded, NaN-free loss + gradient.
+    g = jax.grad(
+        lambda dmap: sparse_depth_loss(
+            dmap, jnp.zeros((H, W)), uv, jnp.full((2,), 2.0), mask
+        )
+    )(depth_map * 0.0)
+    assert bool(jnp.all(jnp.isfinite(g)))

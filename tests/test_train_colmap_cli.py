@@ -36,6 +36,14 @@ def capture(tmp_path_factory):
         ("v0.png", (1.0, 0.0, 0.0, 0.0), (0.0, 0.0, 0.0)),
         ("v1.png", (1.0, 0.0, 0.0, 0.0), (0.1, 0.0, 0.0)),
     ]
+    # SfM points: the cloud the trainer initializes from.
+    rng = np.random.default_rng(3)
+    n_pts = 120
+    xyz = rng.normal(0, 0.4, (n_pts, 3)) + np.array([0.0, 0.0, 2.0])
+    rgb = rng.integers(0, 256, (n_pts, 3))
+
+    # Each view observes every point (identity R): pixel = f*xy/z + c.
+    # These 2D observations feed --depth-loss via sparse_depth_targets.
     with open(sparse / "images.bin", "wb") as fo:
         fo.write(struct.pack("<Q", len(views)))
         for i, (name, q, t) in enumerate(views):
@@ -44,13 +52,12 @@ def capture(tmp_path_factory):
             fo.write(struct.pack("<3d", *t))
             fo.write(struct.pack("<i", 1))
             fo.write(name.encode() + b"\x00")
-            fo.write(struct.pack("<Q", 0))
-
-    # SfM points: the cloud the trainer initializes from.
-    rng = np.random.default_rng(3)
-    n_pts = 120
-    xyz = rng.normal(0, 0.4, (n_pts, 3)) + np.array([0.0, 0.0, 2.0])
-    rgb = rng.integers(0, 256, (n_pts, 3))
+            pc = xyz + np.asarray(t)
+            us = f * pc[:, 0] / pc[:, 2] + W / 2
+            vs = f * pc[:, 1] / pc[:, 2] + H / 2
+            fo.write(struct.pack("<Q", n_pts))
+            for j in range(n_pts):
+                fo.write(struct.pack("<ddq", us[j], vs[j], j + 1))
     with open(sparse / "points3D.bin", "wb") as fo:
         fo.write(struct.pack("<Q", n_pts))
         for i in range(n_pts):
@@ -132,6 +139,7 @@ def test_train_cli_with_adc(capture, capsys):
         "--impl", "xla", "--max-gaussians", "256", "--sh-degree", "0",
         "--strategy", "adc", "--densify-every", "5",
         "--densify-grad-threshold", "1e-7", "--opacity-reset-every", "10",
+        "--depth-loss", "0.05",
         "--out-dir", out_dir, "--save-every", "0",
     ]
     try:
@@ -147,3 +155,4 @@ def test_train_cli_with_adc(capture, capsys):
     assert os.path.exists(os.path.join(out_dir, "scene_final.ply"))
     assert "[densify:" in out and "[opacity reset]" in out
     assert "ADC scene extent" in out
+    assert "depth supervision:" in out

@@ -38,7 +38,9 @@ from mojosplat_tpu import (
     bilateral_grid_tv,
     identity_bilateral_grid,
     render_gaussians,
+    render_surfels,
 )
+from mojosplat_tpu.surfel import normal_consistency_loss
 from mojosplat_tpu import train as mtrain
 from mojosplat_tpu.utils import save_gaussian_ply, save_png
 from mojosplat_tpu.utils import colmap as cm
@@ -77,6 +79,16 @@ def main():
                     help="sparse model dir (default <data>/sparse/0)")
     ap.add_argument("--downscale", type=int, default=4)
     ap.add_argument("--steps", type=int, default=2000)
+    ap.add_argument("--primitive", default="3dgs", choices=["3dgs", "2dgs"],
+                    help="'2dgs' trains gaussian surfels (Huang et al.): "
+                    "(N,2) tangent scales, exact ray/disk intersection "
+                    "response, the paper's depth-distortion and normal-"
+                    "consistency regularizers; the trained PLY feeds "
+                    "examples/extract_mesh.py")
+    ap.add_argument("--normal-weight", type=float, default=0.05,
+                    help="2DGS normal-consistency regularizer weight")
+    ap.add_argument("--distortion-weight", type=float, default=100.0,
+                    help="2DGS depth-distortion regularizer weight")
     ap.add_argument("--sh-degree", type=int, default=3)
     ap.add_argument("--lr", type=float, default=2e-3)
     ap.add_argument("--ssim-weight", type=float, default=0.2)
@@ -185,6 +197,10 @@ def main():
     raw_np = cm.init_gaussians_from_points(
         scene.points_xyz, scene.points_rgb, sh_degree=args.sh_degree
     )
+    surfels = args.primitive == "2dgs"
+    if surfels:
+        # Surfels live in their tangent plane: (N, 2) log scales.
+        raw_np["scales"] = raw_np["scales"][:, :2]
     n_pts = scene.points_xyz.shape[0]
     cap = args.max_gaussians or round_up(max(n_pts, 1), 65536)
     raw = {k: jnp.asarray(v) for k, v in raw_np.items()}
@@ -214,6 +230,9 @@ def main():
         relocate_fn = jax.jit(functools.partial(mcmc_relocate, config=mcfg))
 
     adc = args.strategy == "adc"
+    if adc and surfels:
+        sys.exit("--strategy adc needs the 3DGS view-space gradient sink; "
+                 "use --strategy mcmc with --primitive 2dgs")
     if adc:
         from mojosplat_tpu.densify import (
             DensifyConfig,
@@ -317,7 +336,14 @@ def main():
                 # positional-gradient statistic driving clone/split.
                 sink = ({"absgrad_sink": offset} if args.absgrad
                         else {"means2d_offset": offset})
-            if depth_sup:
+            if surfels:
+                img, dmap, nmap, dist, raux = render_surfels(
+                    p["means3d"], p["scales"], p["quats"], p["opacities"],
+                    p["features"], c, sh_degree=sh_deg, config=config,
+                    return_depth=True, return_normals=True,
+                    return_distortion=True, return_aux=True,
+                )
+            elif depth_sup:
                 img, dmap, raux = render_gaussians(
                     p["means3d"], p["scales"], p["quats"], p["opacities"],
                     p["features"], c, sh_degree=sh_deg,
@@ -349,6 +375,17 @@ def main():
                 loss = loss + args.depth_loss * mtrain.sparse_depth_loss(
                     dmap, alpha, duv, dz, dm
                 )
+            if surfels:
+                # The 2DGS paper's regularizers (surfel.py; same
+                # normalization as train.train_step_sharded_surfel).
+                if args.distortion_weight:
+                    loss = loss + args.distortion_weight * jnp.mean(dist)
+                if args.normal_weight:
+                    loss = loss + args.normal_weight * (
+                        normal_consistency_loss(
+                            dmap, nmap, raux.raster.final_transmittance, c
+                        )
+                    )
             if mcmc:
                 loss = loss + mcmc_regularization(params, mcfg)
             return loss
@@ -388,7 +425,8 @@ def main():
     @jax.jit
     def render_view(params, cam):
         p = mtrain.activate(params)
-        return render_gaussians(
+        fn = render_surfels if surfels else render_gaussians
+        return fn(
             p["means3d"], p["scales"], p["quats"], p["opacities"],
             p["features"], cam, sh_degree=args.sh_degree, config=config,
         )

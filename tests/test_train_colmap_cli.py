@@ -156,3 +156,38 @@ def test_train_cli_with_adc(capture, capsys):
     assert "[densify:" in out and "[opacity reset]" in out
     assert "ADC scene extent" in out
     assert "depth supervision:" in out
+
+
+def test_train_cli_2dgs(capture, capsys):
+    """--primitive 2dgs: real-capture surfel training with the paper's
+    depth-distortion + normal-consistency regularizers and MCMC density
+    control; the saved PLY must carry the (N, 2) surfel-scale layout."""
+    from mojosplat_tpu.utils import load_gaussian_ply
+
+    root = capture
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out_dir = str(root / "out_2dgs")
+    argv = sys.argv
+    sys.argv = [
+        "x", "--data", str(root), "--downscale", "1", "--steps", "12",
+        "--impl", "xla", "--max-gaussians", "256", "--sh-degree", "0",
+        "--primitive", "2dgs", "--strategy", "mcmc",
+        "--densify-every", "6", "--depth-loss", "0.05",
+        "--out-dir", out_dir, "--save-every", "0",
+    ]
+    try:
+        import runpy
+
+        runpy.run_path(
+            os.path.join(repo, "examples", "train_colmap.py"),
+            run_name="__main__",
+        )
+    finally:
+        sys.argv = argv
+    out = capsys.readouterr().out
+    ply = os.path.join(out_dir, "scene_final.ply")
+    assert os.path.exists(ply)
+    params = load_gaussian_ply(ply)
+    assert params["scales"].shape[-1] == 2
+    assert np.all(np.isfinite(params["means3d"]))
+    assert "[mcmc:" in out

@@ -48,6 +48,12 @@ def main():
     ap.add_argument("--out-dir", default="output/train_blender")
     ap.add_argument("--eval-every", type=int, default=0,
                     help="held-out test-split PSNR every N steps")
+    ap.add_argument("--strategy", default="none", choices=["none", "mcmc"],
+                    help="'mcmc' = 3DGS-MCMC density control (relocation + "
+                    "opacity-gated noise + L1 regularizers) at fixed "
+                    "capacity — fills the random-init cloud with detail")
+    ap.add_argument("--densify-every", type=int, default=100,
+                    help="steps between MCMC relocation events")
     args = ap.parse_args()
     os.makedirs(args.out_dir, exist_ok=True)
 
@@ -83,8 +89,20 @@ def main():
     optimizer = mtrain.make_optimizer(args.lr)
     state = mtrain.init_train_state(raw, optimizer)
 
+    mcmc = args.strategy == "mcmc"
+    if mcmc:
+        from mojosplat_tpu.densify import (
+            MCMCConfig,
+            mcmc_position_noise,
+            mcmc_regularization,
+            mcmc_relocate,
+        )
+
+        mcfg = MCMCConfig()
+        relocate_fn = jax.jit(functools.partial(mcmc_relocate, config=mcfg))
+
     @functools.partial(jax.jit, donate_argnums=(0,))
-    def step_fn(st, cam, target):
+    def step_fn(st, cam, target, key):
         def loss_fn(params):
             p = mtrain.activate(params)
             img = render_gaussians(
@@ -92,13 +110,18 @@ def main():
                 p["features"], cam, sh_degree=args.sh_degree,
                 background_color=bg, config=config,
             )
-            return mtrain.dssim_l1_loss(
+            loss = mtrain.dssim_l1_loss(
                 img, target, ssim_weight=args.ssim_weight
             )
+            if mcmc:
+                loss = loss + mcmc_regularization(params, mcfg)
+            return loss
 
         loss, grads = jax.value_and_grad(loss_fn)(st.params)
         updates, opt_state = optimizer.update(grads, st.opt_state, st.params)
         params = optax.apply_updates(st.params, updates)
+        if mcmc:
+            params = mcmc_position_noise(params, key, args.lr, mcfg)
         return mtrain.TrainState(params, opt_state, st.step + 1), loss
 
     @jax.jit
@@ -111,10 +134,13 @@ def main():
         )
 
     def eval_test():
-        test = load_blender_scene(
-            args.data, "test", background=args.background,
-            downscale=args.downscale,
-        )
+        try:
+            test = load_blender_scene(
+                args.data, "test", background=args.background,
+                downscale=args.downscale,
+            )
+        except FileNotFoundError:
+            return None  # dataset ships no test split
         if test.images is None or not len(test.names):
             return None
         vals = []
@@ -125,12 +151,25 @@ def main():
 
     n_views = len(scene.names)
     rng = np.random.default_rng(0)
+    base_key = jax.random.PRNGKey(23)
     t0 = time.perf_counter()
     losses = []
     for step in range(args.steps):
         i = int(rng.integers(n_views))
-        state, loss = step_fn(state, scene.camera_for(i), targets[i])
+        state, loss = step_fn(state, scene.camera_for(i), targets[i],
+                              jax.random.fold_in(base_key, step))
         losses.append(loss)
+        if mcmc and (step + 1) % args.densify_every == 0 \
+                and step + 1 < args.steps:
+            params, metrics = relocate_fn(
+                state.params,
+                jax.random.fold_in(base_key, args.steps + step + 1),
+            )
+            state = mtrain.TrainState(
+                params, optimizer.init(params), state.step
+            )
+            print(f"  [mcmc: {int(metrics['relocated'])} relocated, "
+                  f"{int(metrics['alive'])} alive]", flush=True)
         if (step + 1) % 50 == 0:
             lv = float(jnp.mean(jnp.stack(losses[-50:])))
             dt = time.perf_counter() - t0

@@ -105,3 +105,42 @@ def test_camera_points_at_scene_center(tmp_path):
         np.asarray(res.means2d[0]), [16.0, 16.0], atol=1e-3
     )
     assert float(res.depths[0]) > 0
+
+
+def test_train_blender_cli_mcmc(tmp_path, capsys):
+    """End-to-end training CLI on a synthetic Blender scene with MCMC
+    density control: must run, relocate, and save the fitted PLY."""
+    import sys
+
+    poses = []
+    for i in range(3):
+        ang = 2.0 * np.pi * i / 3
+        eye = jnp.asarray(
+            [3.0 * np.sin(ang), 0.5, 3.0 * np.cos(ang)], jnp.float32
+        )
+        R, T = look_at(eye=eye, target=jnp.zeros(3),
+                       up=jnp.array([0.0, 1.0, 0.0]))
+        poses.append((np.asarray(R), np.asarray(T)))
+    write_scene(str(tmp_path), poses, H=48, W=48)
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out_dir = str(tmp_path / "out")
+    argv = sys.argv
+    sys.argv = [
+        "x", "--data", str(tmp_path), "--downscale", "1", "--steps", "10",
+        "--impl", "xla", "--gaussians", "256", "--sh-degree", "0",
+        "--strategy", "mcmc", "--densify-every", "5",
+        "--out-dir", out_dir,
+    ]
+    try:
+        import runpy
+
+        runpy.run_path(
+            os.path.join(repo, "examples", "train_blender.py"),
+            run_name="__main__",
+        )
+    finally:
+        sys.argv = argv
+    out = capsys.readouterr().out
+    assert "[mcmc:" in out
+    assert os.path.exists(os.path.join(out_dir, "scene_final.ply"))

@@ -102,24 +102,29 @@ def main():
         )
 
         opt = optax.adam(args.appearance_lr)
-        # Fit on full-image coordinates with the loss masked to the left
-        # half (keeps the bilateral grid's spatial axes aligned), then
-        # score on the right half — the correction never sees the pixels
-        # it is judged on.
-        left = (jnp.arange(W) < W // 2).astype(jnp.float32)[None, :, None]
 
         def correct(img, a):
             return (mtrain.apply_exposure(img, a) if app == "affine"
                     else apply_bilateral_grid(img, a))
 
+        # Fit on full-image coordinates with the loss masked to the left
+        # half (keeps the bilateral grid's spatial axes aligned), then
+        # score on the right half — the correction never sees the pixels
+        # it is judged on. Shapes come from the traced image, so mixed
+        # camera resolutions just retrace.
         @jax.jit
         def fit_and_correct(img, tgt):
             a0 = (mtrain.identity_exposure(1)[0] if app == "affine"
                   else identity_bilateral_grid(1)[0])
+            h, w, c = img.shape
+            # Built during tracing (NOT closure-captured: a pre-existing
+            # device array in a jit closure drops this whole process to the
+            # ~30 ms/dispatch path — CLAUDE.md machine rules).
+            left = (jnp.arange(w) < w // 2).astype(img.dtype)[None, :, None]
 
             def loss(a):
                 err = (correct(img, a) - tgt) ** 2 * left
-                l = err.sum() / (left.sum() * img.shape[-1])
+                l = err.sum() / (h * (w // 2) * c)  # masked per-pixel mean
                 if app == "bilagrid":
                     l = l + 10.0 * bilateral_grid_tv(a[None])
                 return l
@@ -148,7 +153,7 @@ def main():
         }
         if app != "none":
             fixed = fit_and_correct(img, tgt)
-            half = W // 2
+            half = int(tgt.shape[1]) // 2
             row["psnr_right_corrected"] = float(
                 psnr(fixed[:, half:], tgt[:, half:])
             )

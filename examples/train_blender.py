@@ -134,13 +134,17 @@ def main():
         )
 
     def eval_test():
-        try:
-            test = load_blender_scene(
-                args.data, "test", background=args.background,
-                downscale=args.downscale,
-            )
-        except FileNotFoundError:
-            return None  # dataset ships no test split
+        # Require a real transforms_test.json: the loader falls back to
+        # transforms.json, which would silently score the TRAINING views
+        # as "test PSNR".
+        if not os.path.exists(
+            os.path.join(args.data, "transforms_test.json")
+        ):
+            return None
+        test = load_blender_scene(
+            args.data, "test", background=args.background,
+            downscale=args.downscale,
+        )
         if test.images is None or not len(test.names):
             return None
         vals = []

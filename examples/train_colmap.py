@@ -267,19 +267,25 @@ def main():
     # view rendered this step has a nonzero gradient row; the others keep
     # frozen moments, and a disabled group's all-zero gradients freeze it
     # entirely.
-    view_opt = optax.multi_transform(
-        {"pose": mtrain.selective_adam(args.pose_lr),
-         "expo": mtrain.selective_adam(args.exposure_lr),
-         "intr": mtrain.selective_adam(args.intrinsics_lr),
-         "bgrid": mtrain.selective_adam(args.bilagrid_lr)},
-        {"pose": "pose", "expo": "expo", "intr": "intr", "bgrid": "bgrid"},
-    )
+    view_transforms = {
+        "pose": mtrain.selective_adam(args.pose_lr),
+        "expo": mtrain.selective_adam(args.exposure_lr),
+        "intr": mtrain.selective_adam(args.intrinsics_lr),
+    }
     view_params = {
         "pose": jnp.zeros((len(views), 6), jnp.float32),
         "expo": mtrain.identity_exposure(len(views)),
         "intr": jnp.zeros((len(views), 4), jnp.float32),
-        "bgrid": identity_bilateral_grid(len(views)),
     }
+    if args.bilagrid:
+        # Allocated only when enabled: the (V, 16, 16, 8, 12) grids' 12-lane
+        # minormost dim pads ~10.7x under the TPU tiled layout, and the
+        # gated tree also keeps pre-bilagrid checkpoints resumable.
+        view_transforms["bgrid"] = mtrain.selective_adam(args.bilagrid_lr)
+        view_params["bgrid"] = identity_bilateral_grid(len(views))
+    view_opt = optax.multi_transform(
+        view_transforms, {k: k for k in view_transforms}
+    )
     view_state = view_opt.init(view_params)
 
     ckpt_dir = os.path.join(os.path.abspath(args.out_dir), "ckpt")

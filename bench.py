@@ -24,10 +24,18 @@ import argparse
 import functools
 import glob
 import json
+import os
 import sys
 import time
 
 import jax
+
+# This machine's TPU plugin force-selects itself via jax config, overriding
+# the JAX_PLATFORMS env var (see tests/conftest.py). Honor the env var here
+# so `JAX_PLATFORMS=cpu python bench.py --skip-probe` really runs on CPU.
+if os.environ.get("JAX_PLATFORMS"):
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
 import jax.numpy as jnp
 
 from mojosplat_tpu import Camera, RenderConfig, render_gaussians
@@ -52,6 +60,20 @@ def build_loop(n, H, W, sh_degree, config, mode, iters, family="3dgs",
         render = render_surfels
     else:
         render = render_gaussians
+
+    def aux_counters(p, cam):
+        # Honest-headline counters: how much blend work the static budgets
+        # (max_tile_span / capacity / tile_capacity) actually dropped for
+        # this scene. Forward-only; compiled separately from the timed loop.
+        out = render(
+            p["means3d"], p["scales"], p["quats"], p["opacities"],
+            p["features"], cam, sh_degree=sh_degree,
+            background_color=jnp.array([0.1, 0.1, 0.1]), config=config,
+            return_aux=True,
+        )
+        aux = out[-1]
+        return (aux.binning.num_isects, aux.binning.capacity_overflow,
+                aux.binning.span_truncated, aux.raster.tile_overflow)
 
     def forward(p, cam):
         if maps:
@@ -102,6 +124,7 @@ def build_loop(n, H, W, sh_degree, config, mode, iters, family="3dgs",
         jax.jit(functools.partial(loop, iters=1)),
         params,
         camera,
+        jax.jit(aux_counters),
     )
 
 
@@ -173,6 +196,13 @@ def main():
     )
     ap.add_argument("--skip-probe", action="store_true",
                     help="skip the device-reachability probe (dev/CPU runs)")
+    ap.add_argument(
+        "--report-aux", action=argparse.BooleanOptionalAction, default=True,
+        help="include the binning/raster drop counters (num_isects, "
+        "capacity_overflow, span_truncated, tile_overflow) and the "
+        "roofline fraction_of_light in the JSON line (costs one extra "
+        "forward compile)",
+    )
     args = ap.parse_args()
     if args.maps and args.family != "2dgs":
         ap.error("--maps requires --family 2dgs")
@@ -218,7 +248,7 @@ def main():
         grad_route_bf16=args.bf16_grads,
     )
     sh = args.sh_degree if args.sh_degree >= 0 else None
-    fn, fn1, params, camera = build_loop(
+    fn, fn1, params, camera, aux_fn = build_loop(
         args.gaussians, args.height, args.width, sh, config, args.mode,
         args.iters, family=args.family, maps=args.maps,
     )
@@ -242,16 +272,43 @@ def main():
     )
     prev = previous_round_value(metric)
     vs_baseline = pixels_per_s / prev if prev else 1.0
-    print(
-        json.dumps(
-            {
-                "metric": metric,
-                "value": round(pixels_per_s, 1),
-                "unit": "pixels/s",
-                "vs_baseline": round(vs_baseline, 4),
-            }
+    record = {
+        "metric": metric,
+        "value": round(pixels_per_s, 1),
+        "unit": "pixels/s",
+        "vs_baseline": round(vs_baseline, 4),
+    }
+    if args.report_aux:
+        num_isects, cap_of, span_tr, tile_of = map(int, aux_fn(params,
+                                                               camera))
+        from mojosplat_tpu.utils.profiling import roofline_report
+
+        kind = jax.devices()[0].device_kind.lower()
+        chip = ("v5p" if "v5p" in kind or "v5 pod" in kind
+                else "v5e" if "v5" in kind
+                else "v4" if "v4" in kind else "cpu")
+        rep = roofline_report(
+            step_ms=dt * 1e3,
+            n_pixels=args.height * args.width,
+            n_isects=num_isects,
+            n_gaussians=args.gaussians,
+            sh_bases=(args.sh_degree + 1) ** 2 if sh is not None else 1,
+            backward=args.mode == "fwdbwd",
+            chip=chip,
         )
-    )
+        demanded = num_isects + cap_of + span_tr
+        record.update({
+            "step_ms": round(dt * 1e3, 2),
+            "num_isects": num_isects,
+            "capacity_overflow": cap_of,
+            "span_truncated": span_tr,
+            "tile_overflow": tile_of,
+            "isect_keep_fraction": round(num_isects / max(demanded, 1), 4),
+            "light_speed_ms": round(rep.light_speed_ms, 2),
+            "fraction_of_light": round(rep.fraction_of_light, 4),
+            "chip": chip,
+        })
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":

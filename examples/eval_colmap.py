@@ -53,6 +53,9 @@ def main():
                     "report metrics on the RIGHT half (corrected and raw)")
     ap.add_argument("--appearance-steps", type=int, default=100)
     ap.add_argument("--appearance-lr", type=float, default=5e-3)
+    ap.add_argument("--appearance-tv", type=float, default=10.0,
+                    help="bilateral-grid TV weight during the test-time fit "
+                    "(match the trainer's --bilagrid-tv for comparable runs)")
     args = ap.parse_args()
 
     sparse = args.sparse or os.path.join(args.data, "sparse", "0")
@@ -126,7 +129,7 @@ def main():
                 err = (correct(img, a) - tgt) ** 2 * left
                 l = err.sum() / (h * (w // 2) * c)  # masked per-pixel mean
                 if app == "bilagrid":
-                    l = l + 10.0 * bilateral_grid_tv(a[None])
+                    l = l + args.appearance_tv * bilateral_grid_tv(a[None])
                 return l
 
             def body(carry, _):

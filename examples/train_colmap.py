@@ -293,14 +293,38 @@ def main():
     if args.resume and os.path.isdir(ckpt_dir):
         from mojosplat_tpu.utils.checkpoint import restore_checkpoint
 
-        bundle = restore_checkpoint(
-            ckpt_dir,
-            like=dict(state=state, view_params=view_params,
-                      view_state=view_state),
-        )
+        like = dict(state=state, view_params=view_params,
+                    view_state=view_state)
+        # The ADC gradient-accumulation window is part of training state:
+        # dropping it on resume silently resets densification statistics.
+        if dstate is not None:
+            like["dstate"] = dstate
+        try:
+            bundle = restore_checkpoint(ckpt_dir, like=like)
+        except Exception as e:
+            if dstate is not None:
+                # Pre-round-4 checkpoints carry no dstate — restore the
+                # rest and keep the zero window rather than failing.
+                del like["dstate"]
+                bundle = restore_checkpoint(ckpt_dir, like=like)
+                print("  note: checkpoint has no densify stats; "
+                      "accumulation window restarts at zero")
+            elif args.bilagrid and "bgrid" in view_params:
+                raise SystemExit(
+                    "checkpoint restore failed — if --bilagrid was enabled "
+                    "AFTER this checkpoint was written, the optimizer trees "
+                    "no longer match; restart without --resume or retrain "
+                    f"with the original flags.\n  underlying error: {e}"
+                )
+            else:
+                raise
         state = mtrain.TrainState(*bundle["state"])
         view_params = bundle["view_params"]
         view_state = bundle["view_state"]
+        if dstate is not None and "dstate" in bundle:
+            from mojosplat_tpu.densify import DensifyState as _DState
+
+            dstate = _DState(*bundle["dstate"])
         start_step = int(state.step)
         print(f"  resumed from {ckpt_dir} at step {start_step}")
 
@@ -311,8 +335,11 @@ def main():
         tmp = ckpt_dir + ".tmp"
         if os.path.isdir(tmp):
             shutil.rmtree(tmp)
-        save_checkpoint(tmp, dict(state=state, view_params=view_params,
-                                  view_state=view_state))
+        bundle = dict(state=state, view_params=view_params,
+                      view_state=view_state)
+        if dstate is not None:
+            bundle["dstate"] = dstate
+        save_checkpoint(tmp, bundle)
         if os.path.isdir(ckpt_dir):
             shutil.rmtree(ckpt_dir)
         os.rename(tmp, ckpt_dir)

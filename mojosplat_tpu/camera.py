@@ -81,6 +81,18 @@ class Camera:
     # motion-Jacobian linearization anywhere).
     shutter: str = "global"
 
+    def __post_init__(self):
+        # A directly-constructed Camera (not via Camera.create) would keep
+        # the None default as a pytree LEAF, giving it a different treedef
+        # from created cameras (breaking tree_map/stacking mixes) and
+        # crashing rolling-shutter code. Coerce to the zeros Camera.create
+        # would have built.
+        if self.rs_vel is None:
+            dtype = jnp.result_type(self.fx)
+            object.__setattr__(
+                self, "rs_vel", jnp.zeros(jnp.shape(self.fx) + (6,), dtype)
+            )
+
     @staticmethod
     def create(
         R,

@@ -164,7 +164,15 @@ def bin_gaussians_to_tiles(
     # naive 7 (2 keys + 5 fields). Stability preserves the original-index
     # tie-break on equal depths, exactly like the old (is_empty, depth) key
     # pair.
-    sortkey = jnp.where(counts == 0, jnp.inf, depths.astype(jnp.float32))
+    # NaN depths would sort past the +inf empty suffix (NaN > inf in
+    # lax.sort), breaking the nonzero-count-prefix invariant the banded
+    # expand kernel relies on — fold them to the largest finite float so a
+    # non-empty gaussian can never land after an empty one.
+    depth_key = depths.astype(jnp.float32)
+    depth_key = jnp.where(
+        jnp.isnan(depth_key), jnp.finfo(jnp.float32).max, depth_key
+    )
+    sortkey = jnp.where(counts == 0, jnp.inf, depth_key)
     geom = tx_min | (ty_min << 13)
     spans = span_x | (span_y << 8)
     depths_p, geom_p, spans_p, index_p = jax.lax.sort(

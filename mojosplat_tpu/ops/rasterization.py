@@ -107,6 +107,29 @@ def _blend_chunk(T_in, done_in, accum_in, alpha, colors_chunk, eps,
     return T_out, done_out, accum, accum_vals
 
 
+@jax.custom_vjp
+def _abs_tap(means_k, sink_k):
+    """Identity on ``means_k`` (``sink_k`` is all-zero by contract); its VJP
+    duplicates the cotangent into ``sink_k`` with absolute value taken.
+
+    Called once per (tile, slot): the surrounding gather's backward then
+    scatter-adds |cotangent| over tiles into the (N, 2) sink — the AbsGS /
+    gsplat absgrad statistic, same contract as raster_pallas._gather_rows_abs.
+    """
+    return means_k + sink_k
+
+
+def _abs_tap_fwd(means_k, sink_k):
+    return means_k + sink_k, None
+
+
+def _abs_tap_bwd(_, ct):
+    return ct, jnp.abs(ct)
+
+
+_abs_tap.defvjp(_abs_tap_fwd, _abs_tap_bwd)
+
+
 def _pixel_alphas(px, py, means_k, conics_k, opac_k, valid_k, config):
     """Alphas of K gaussians at P pixels. px/py: (P,), gaussian params: (K,...).
 
@@ -238,15 +261,16 @@ def rasterize_gaussians(
         )
     if config.raster_impl != "xla":
         raise ValueError(f"Unknown raster_impl: {config.raster_impl!r}")
-    if absgrad_sink is not None:
-        raise NotImplementedError(
-            "absgrad requires raster_impl='pallas' (the XLA oracle path "
-            "has no per-tile gradient routing to hook)"
-        )
 
     def alpha_fn(px_t, py_t, safe, valid):
+        means_k = means2d[safe]
+        if absgrad_sink is not None:
+            # Per-(tile, slot) tap: the sink gather's backward scatter-adds
+            # |tile cotangent| per gaussian — the same-API oracle for the
+            # Pallas absgrad route (raster_pallas._gather_rows_abs).
+            means_k = _abs_tap(means_k, absgrad_sink[safe])
         return _pixel_alphas(
-            px_t, py_t, means2d[safe], conics[safe], opacities[safe],
+            px_t, py_t, means_k, conics[safe], opacities[safe],
             valid, config,
         )
 

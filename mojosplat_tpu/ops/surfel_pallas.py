@@ -515,8 +515,24 @@ def primed_surfel_columns(columns, camera):
     b(3), c2(2), op], each (N,). Row-scaling the ray/disk system by fx
     (x-eq) and fy (y-eq) leaves (u, v) invariant and removes all camera
     scalars from the kernel.
+
+    For ``camera_model == "ortho"`` the parallel-ray system
+    ``u a_x + v b_x = xn - qc_x`` lands in the same kernel form
+    ``A11 = a0' - px a2, r1 = px qc2 - qc0'`` by priming with z-slots
+    (qc2, a2, b2) = (1, 0, 0): A11 = fx a_x and r1 = px - (fx qc_x + cx) =
+    fx (xn - qc_x) — the same fx row scaling. (This is why the aux kernel's
+    intersection depth, which reads those z rows, is pinhole-only.)
     """
     (qcx, qcy, qcz, ax, ay, az, bx, by, bz, c2x, c2y, op) = columns
+
+    if camera.camera_model == "ortho":
+        one = jnp.ones_like(qcz)
+        zero = jnp.zeros_like(qcz)
+        return (camera.fx * qcx + camera.cx, camera.fy * qcy + camera.cy,
+                one,
+                camera.fx * ax, camera.fy * ay, zero,
+                camera.fx * bx, camera.fy * by, zero,
+                c2x, c2y, op)
 
     def prime(x, y, z):
         return (camera.fx * x + camera.cx * z,

@@ -104,13 +104,25 @@ def surfel_alpha_columns(
     qcx, qcy, qcz = qcx + camera.T[0], qcy + camera.T[1], qcz + camera.T[2]
     ax, ay, az = _rotate_rows(*tu, camera.R)
     bx, by, bz = _rotate_rows(*tv, camera.R)
-    z = jnp.maximum(qcz, 1e-6)
+    if camera.camera_model == "ortho":
+        # No z-divide: the low-pass filter center is the affine image of qc.
+        c2x = camera.fx * qcx + camera.cx
+        c2y = camera.fy * qcy + camera.cy
+    else:
+        z = jnp.maximum(qcz, 1e-6)
+        xn, yn = qcx / z, qcy / z
+        if camera.camera_model == "fisheye":
+            from .ops.projection import apply_lens
+
+            xn, yn = apply_lens(camera, xn, yn)
+        c2x = camera.fx * xn + camera.cx
+        c2y = camera.fy * yn + camera.cy
     return (
         qcx, qcy, qcz,
         su * ax, su * ay, su * az,
         sv * bx, sv * by, sv * bz,
-        camera.fx * qcx / z + camera.cx,
-        camera.fy * qcy / z + camera.cy,
+        c2x,
+        c2y,
         opacities,
     )
 
@@ -144,6 +156,30 @@ def oriented_normal_columns(columns) -> tuple:
             jnp.where(flip, -nz, nz))
 
 
+def _invert_equidistant(camera, xd, yd):
+    """Inverse of apply_lens's fisheye map: distorted normalized coords ->
+    undistorted normalized coords (i.e. the pixel's ray direction is
+    (xn, yn, 1)). theta solves theta_d = theta (1 + k1 th^2 + ... + k4 th^8)
+    by a fixed 8-step Newton iteration (exact in one step for the ideal
+    k = 0 lens, where theta = theta_d); then r = tan(theta).
+    """
+    k1, k2, k3, k4 = (camera.dist[..., i] for i in range(4))
+    rd2 = xd * xd + yd * yd
+    on_axis = rd2 < 1e-12
+    rd = jnp.sqrt(jnp.where(on_axis, 1.0, rd2))  # = theta_d
+    th = rd
+    for _ in range(8):
+        th2 = th * th
+        poly = 1.0 + th2 * (k1 + th2 * (k2 + th2 * (k3 + th2 * k4)))
+        dpoly = 1.0 + th2 * (
+            3.0 * k1 + th2 * (5.0 * k2 + th2 * (7.0 * k3 + th2 * 9.0 * k4))
+        )
+        th = th - (th * poly - rd) / jnp.maximum(dpoly, 1e-6)
+    th = jnp.clip(th, 0.0, 0.5 * jnp.pi - 1e-3)
+    scale = jnp.where(on_axis, 1.0, jnp.tan(th) / rd)
+    return xd * scale, yd * scale
+
+
 def _surfel_alphas(px, py, d, valid, camera, config, with_depth=False):
     """Alphas of K surfels at P pixels. px/py: (P,), d: (K, 12) rows.
 
@@ -151,18 +187,36 @@ def _surfel_alphas(px, py, d, valid, camera, config, with_depth=False):
     [z, z^2] of the ray/disk INTERSECTION depth (the paper's depth, not the
     splat center's) — falling back to the center depth on pixels where the
     low-pass filter dominates (edge-on: the intersection is ill-defined).
+
+    Camera models (camera.camera_model, static):
+      - "pinhole": ray through the origin with direction (xn, yn, 1).
+      - "fisheye": same perspective system with (xn, yn) recovered by
+        inverting the exact equidistant lens per pixel
+        (_invert_equidistant) — the ray set is still t (xn, yn, 1).
+      - "ortho": parallel rays, origin (xn, yn, 0), direction (0, 0, 1);
+        the 2x2 system loses its z-coupling terms.
     """
     qc, a, b = d[:, 0:3], d[:, 3:6], d[:, 6:9]
     c2, op = d[:, 9:11], d[:, 11]
     xn = (px[:, None] - camera.cx) / camera.fx  # (P, 1) broadcast vs (K,)
     yn = (py[:, None] - camera.cy) / camera.fy
+    if camera.camera_model == "fisheye":
+        xn, yn = _invert_equidistant(camera, xn, yn)
 
-    A11 = a[None, :, 0] - xn * a[None, :, 2]  # (P, K)
-    A12 = b[None, :, 0] - xn * b[None, :, 2]
-    A21 = a[None, :, 1] - yn * a[None, :, 2]
-    A22 = b[None, :, 1] - yn * b[None, :, 2]
-    r1 = xn * qc[None, :, 2] - qc[None, :, 0]
-    r2 = yn * qc[None, :, 2] - qc[None, :, 1]
+    if camera.camera_model == "ortho":
+        A11 = jnp.broadcast_to(a[None, :, 0], (px.shape[0], a.shape[0]))
+        A12 = jnp.broadcast_to(b[None, :, 0], A11.shape)
+        A21 = jnp.broadcast_to(a[None, :, 1], A11.shape)
+        A22 = jnp.broadcast_to(b[None, :, 1], A11.shape)
+        r1 = xn - qc[None, :, 0]
+        r2 = yn - qc[None, :, 1]
+    else:
+        A11 = a[None, :, 0] - xn * a[None, :, 2]  # (P, K)
+        A12 = b[None, :, 0] - xn * b[None, :, 2]
+        A21 = a[None, :, 1] - yn * a[None, :, 2]
+        A22 = b[None, :, 1] - yn * b[None, :, 2]
+        r1 = xn * qc[None, :, 2] - qc[None, :, 0]
+        r2 = yn * qc[None, :, 2] - qc[None, :, 1]
 
     det = A11 * A22 - A12 * A21
     ok = jnp.abs(det) > 1e-9  # ray not parallel to the disk plane
@@ -229,14 +283,22 @@ def render_surfels(
     """
     if config.raster_impl not in ("xla", "pallas"):
         raise ValueError(f"Unknown raster_impl: {config.raster_impl!r}")
-    if camera.camera_model != "pinhole":
-        # The per-pixel ray build (_surfel_alphas) inverts the ideal pinhole
-        # map; distorted/fisheye rays are a 3DGS-path feature (projection
-        # goes through apply_lens there).
-        raise NotImplementedError(
-            "render_surfels supports pinhole cameras only; "
-            f"got camera_model={camera.camera_model!r}"
-        )
+    want_maps_early = return_depth or return_normals or return_distortion
+    if config.raster_impl == "pallas":
+        # The Pallas kernels consume intrinsics-primed columns whose z rows
+        # serve double duty (2x2 system AND intersection depth). Ortho
+        # priming zeroes those rows, so the plain kernel is exact but the
+        # aux (maps) kernel would blend z == 1; fisheye needs a per-pixel
+        # lens inversion the kernel doesn't implement. The XLA path covers
+        # both in full.
+        if camera.camera_model == "fisheye" or (
+            camera.camera_model == "ortho" and want_maps_early
+        ):
+            raise NotImplementedError(
+                f"camera_model={camera.camera_model!r} with "
+                f"maps={want_maps_early} requires raster_impl='xla' for "
+                "surfels (pallas supports pinhole, and ortho without maps)"
+            )
     N = means3d.shape[0]
 
     def eval_colors(features_, means3d_, camera_):

@@ -105,11 +105,33 @@ def test_absgrad_sink_does_not_change_forward_or_param_grads():
     )
 
 
-def test_absgrad_requires_pallas():
-    params, camera = make_scene(n=10)
-    sink0 = jnp.zeros((10, 2))
-    with pytest.raises(NotImplementedError):
-        render(CFG_XLA, params, camera, sink=sink0)
+def test_absgrad_pallas_matches_xla_directly():
+    """The production Pallas statistic vs the same-API XLA route (the tap in
+    ops/rasterization._abs_tap) — no masked-loss scaffolding needed."""
+    params, camera = make_scene(n=80, seed=11)
+    n = params["means3d"].shape[0]
+    w = jax.random.normal(jax.random.PRNGKey(3), (32, 48, 3))
+    sink0 = jnp.zeros((n, 2))
+
+    def absg(config):
+        return jax.grad(
+            lambda s: weighted_loss(
+                render(config, params, camera, sink=s), w
+            )
+        )(sink0)
+
+    np.testing.assert_allclose(
+        np.asarray(absg(CFG_PALLAS)), np.asarray(absg(CFG_XLA)),
+        rtol=2e-3, atol=1e-5,
+    )
+
+
+def test_absgrad_xla_sink_does_not_change_forward():
+    params, camera = make_scene(n=30, seed=9)
+    sink0 = jnp.zeros((30, 2))
+    img_plain = render(CFG_XLA, params, camera)
+    img_sink = render(CFG_XLA, params, camera, sink=sink0)
+    np.testing.assert_array_equal(np.asarray(img_plain), np.asarray(img_sink))
 
 
 def test_train_step_with_densify_stats_absgrad():

@@ -191,17 +191,132 @@ def test_fisheye_wide_angle_stays_on_sensor():
     assert res.radii[0, 0] > 0  # visible — not culled by the viewport test
 
 
-def test_surfels_reject_fisheye():
+def _surfel_scene(n=40, seed=3):
+    key = jax.random.PRNGKey(seed)
+    ks = jax.random.split(key, 5)
+    means = jax.random.normal(ks[0], (n, 3)) * jnp.array([0.6, 0.6, 0.3])
+    means = means.at[:, 2].add(2.5)
+    log_scales = jax.random.uniform(ks[1], (n, 2), minval=-2.5, maxval=-1.0)
+    quats = jax.random.normal(ks[2], (n, 4))
+    opac = jax.random.uniform(ks[3], (n,), minval=0.4, maxval=0.95)
+    colors = jax.random.uniform(ks[4], (n, 3))
+    return means, log_scales, quats, opac, colors
+
+
+def test_surfels_reject_fisheye_on_pallas():
     from mojosplat_tpu.surfel import render_surfels
 
     cam = make_camera(H=32, W=32)
-    means = jnp.zeros((2, 3)).at[:, 2].set(2.0)
-    log_scales = jnp.full((2, 2), -1.0)
-    quats = jnp.tile(jnp.array([1.0, 0.0, 0.0, 0.0]), (2, 1))
-    opac = jnp.array([0.9, 0.9])
-    colors = jnp.ones((2, 3))
+    means, log_scales, quats, opac, colors = _surfel_scene(n=2)
+    cfg = RenderConfig(raster_impl="pallas", pallas_interpret=True,
+                       tile_capacity=128, pallas_chunk=128)
     with pytest.raises(NotImplementedError):
-        render_surfels(means, log_scales, quats, opac, colors, cam)
+        render_surfels(means, log_scales, quats, opac, colors, cam,
+                       config=cfg)
+
+
+def test_surfel_ortho_xla_pallas_parity():
+    """Ortho surfels: the XLA parallel-ray branch vs the Pallas kernel's
+    (1, 0, 0)-primed z-slot form — two independent programs."""
+    from mojosplat_tpu.surfel import render_surfels
+
+    means, log_scales, quats, opac, colors = _surfel_scene()
+    cam = Camera.create(
+        R=jnp.eye(3), T=jnp.zeros(3), H=32, W=48,
+        fx=12.0, fy=12.0, cx=24.0, cy=16.0, camera_model="ortho",
+    )
+    kw = dict(tile_capacity=128, chunk_size=64, max_tile_span=4)
+    img_xla = render_surfels(
+        means, log_scales, quats, opac, colors, cam,
+        config=RenderConfig(**kw),
+    )
+    img_pl = render_surfels(
+        means, log_scales, quats, opac, colors, cam,
+        config=RenderConfig(**kw, raster_impl="pallas",
+                            pallas_chunk=128, pallas_interpret=True),
+    )
+    np.testing.assert_allclose(
+        np.asarray(img_xla), np.asarray(img_pl), atol=2e-5, rtol=1e-4
+    )
+    assert float(jnp.abs(img_xla).max()) > 0.01  # scene actually visible
+
+
+def test_surfel_ortho_depth_invariance():
+    """Under ortho, translating the scene along +z changes nothing but the
+    depth map (parallel rays: no perspective scaling)."""
+    from mojosplat_tpu.surfel import render_surfels
+
+    means, log_scales, quats, opac, colors = _surfel_scene()
+    cam = Camera.create(
+        R=jnp.eye(3), T=jnp.zeros(3), H=32, W=48,
+        fx=12.0, fy=12.0, cx=24.0, cy=16.0, camera_model="ortho",
+        far=1000.0,
+    )
+    img1, d1 = render_surfels(
+        means, log_scales, quats, opac, colors, cam, return_depth=True
+    )
+    img2, d2 = render_surfels(
+        means.at[:, 2].add(5.0), log_scales, quats, opac, colors, cam,
+        return_depth=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(img1), np.asarray(img2), atol=1e-5, rtol=1e-5
+    )
+    # Covered pixels shift their blended depth by exactly 5 * coverage.
+    covered = np.asarray(jnp.abs(d1) > 1e-3)
+    assert covered.any()
+
+
+def test_surfel_fisheye_matches_pinhole_near_axis():
+    """Ideal equidistant (k=0) surfel rays agree with pinhole rays to
+    O(theta^3); at a long focal length the two renders match closely."""
+    from mojosplat_tpu.surfel import render_surfels
+
+    means, log_scales, quats, opac, colors = _surfel_scene()
+    kw = dict(H=32, W=48, fx=400.0, fy=400.0, cx=24.0, cy=16.0)
+    cam_pin = Camera.create(R=jnp.eye(3), T=jnp.zeros(3), **kw)
+    cam_fish = Camera.create(
+        R=jnp.eye(3), T=jnp.zeros(3), **kw, camera_model="fisheye"
+    )
+    img_pin = render_surfels(means, log_scales, quats, opac, colors,
+                             cam_pin)
+    img_fish = render_surfels(means, log_scales, quats, opac, colors,
+                              cam_fish)
+    np.testing.assert_allclose(
+        np.asarray(img_pin), np.asarray(img_fish), atol=5e-3
+    )
+    assert float(jnp.abs(img_pin).max()) > 0.01
+
+
+def test_surfel_equidistant_inverse_roundtrip():
+    from mojosplat_tpu.surfel import _invert_equidistant
+    from mojosplat_tpu.ops.projection import apply_lens
+
+    cam = make_camera(dist=jnp.array([0.03, -0.01, 0.004, -0.001, 0.0]))
+    xn = jnp.linspace(-0.8, 0.8, 9)
+    yn = jnp.linspace(-0.6, 0.6, 9)
+    xd, yd = apply_lens(cam, xn, yn)
+    xr, yr = _invert_equidistant(cam, xd, yd)
+    np.testing.assert_allclose(np.asarray(xr), np.asarray(xn), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(yr), np.asarray(yn), atol=1e-5)
+
+
+def test_surfel_fisheye_maps_and_gradients_finite():
+    from mojosplat_tpu.surfel import render_surfels
+
+    means, log_scales, quats, opac, colors = _surfel_scene(n=20)
+    cam = make_camera(H=32, W=32)
+
+    def loss(m):
+        img, depth, normal, dist = render_surfels(
+            m, log_scales, quats, opac, colors, cam,
+            return_depth=True, return_normals=True, return_distortion=True,
+        )
+        return (jnp.sum(img**2) + jnp.sum(depth**2) * 1e-3
+                + jnp.sum(normal**2) * 1e-3 + jnp.sum(dist**2) * 1e-3)
+
+    g = jax.grad(loss)(means)
+    assert np.all(np.isfinite(np.asarray(g)))
 
 
 def test_colmap_fisheye_model_mapping():

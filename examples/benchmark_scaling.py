@@ -100,7 +100,27 @@ def main():
         "--devices", type=int, nargs="*", default=None,
         help="device counts to sweep (default: 1,2,4,... up to available)",
     )
+    ap.add_argument(
+        "--multihost", action="store_true",
+        help="initialize jax.distributed first (multi-process run): every "
+        "process must launch this CLI; jax.devices() then spans all hosts "
+        "and the mesh helpers build cross-host meshes. Configure "
+        "explicitly with MOJOSPLAT_COORDINATOR/_NUM_PROCESSES/_PROCESS_ID "
+        "or rely on cloud-TPU auto-detection.",
+    )
     args = ap.parse_args()
+
+    from mojosplat_tpu.parallel import init_multihost, is_primary
+
+    # Must run before the backend initializes; a plain single-host run with
+    # no env configured is a no-op.
+    init_multihost(require=args.multihost)
+    if not is_primary():
+        # Workers participate in every collective but only the primary
+        # prints the report.
+        import builtins
+
+        builtins.print = lambda *a, **k: None
 
     avail = len(jax.devices())
     counts = args.devices or [d for d in (1, 2, 4, 8, 16, 32) if d <= avail]

@@ -158,7 +158,17 @@ def main():
                     "nuisance params) every N steps")
     ap.add_argument("--resume", action="store_true",
                     help="resume from <out-dir>/ckpt if present")
+    ap.add_argument("--multihost", action="store_true",
+                    help="initialize jax.distributed before training "
+                    "(launch this CLI on every process; configure with "
+                    "MOJOSPLAT_COORDINATOR/_NUM_PROCESSES/_PROCESS_ID or "
+                    "cloud-TPU auto-detection)")
     args = ap.parse_args()
+
+    from mojosplat_tpu.parallel import init_multihost
+
+    # Must precede backend initialization; single-host no-op by default.
+    init_multihost(require=args.multihost)
     os.makedirs(args.out_dir, exist_ok=True)
 
     sparse = args.sparse or os.path.join(args.data, "sparse", "0")

@@ -116,6 +116,30 @@ def _tile_pixel_centers(t, ts, tw, P):
     return px, py
 
 
+def _dot3(a, b, dims):
+    """f32 dot via a manual 3-pass bf16 split: ah@bh + ah@bl + al@bh.
+
+    Relative error ~2^-17 (the dropped al@bl term and the split rounding)
+    — measured 4.6e-6 max absolute on the headline blend at image scale
+    0.8 — versus XLA HIGHEST's 6 passes at twice the MXU cost: the HIGHEST
+    blend matmul was the single largest component of the forward kernel
+    (9.5 of 25 ms, scripts/dev_kernel_probe.py); the 3-pass form returns
+    ~3 ms. Mosaic exposes only DEFAULT (1-pass bf16) and HIGHEST (6-pass),
+    so the middle precision is spelled out by hand.
+    """
+    dot = functools.partial(
+        jax.lax.dot_general,
+        dimension_numbers=dims,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT,
+    )
+    ah = a.astype(jnp.bfloat16).astype(jnp.float32)
+    al = a - ah
+    bh = b.astype(jnp.bfloat16).astype(jnp.float32)
+    bl = b - bh
+    return dot(ah, bh) + dot(ah, bl) + dot(al, bh)
+
+
 def _chunk_rows(pdata_ref, k, K):
     """Read chunk k's (_PROWS, K) field rows (gaussians on lanes).
 
@@ -132,6 +156,13 @@ def _chunk_geometry(g, k, K, px, py, count, config):
 
     ``g`` is the (_PROWS, K) transposed chunk; ``k`` is a static Python int
     (unrolled loop). Matches _pixel_alphas (rasterization.py:103-114).
+
+    Measured dead end (round 4, scripts/dev_fast_sigma.py): evaluating
+    sigma as a tile-local quadratic-basis MXU dot ((P, 6) @ (6, K),
+    HIGHEST) instead of this VPU chain changes the kernel time by < 1%
+    (25.85 -> 26.08 ms fwd at headline scale) while costing ~1e-3 absolute
+    image error from f32 cancellation - the kernel is not bound by the
+    sigma arithmetic (scripts/dev_kernel_probe.py attributes the time).
     """
     xg = g[0:1, :]  # (1, K)
     yg = g[1:2, :]
@@ -222,10 +253,8 @@ def _fwd_kernel(counts_ref, pdata_ref, out_ref, thist_ref,
                 w = eff * t_in * excl  # (P, K)
 
                 cols_t = g[6:, :]  # (cp, K) channels (+ zero pad rows)
-                acc_s[...] = acc_s[...] + jax.lax.dot_general(
-                    w, cols_t, (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
+                acc_s[...] = acc_s[...] + _dot3(
+                    w, cols_t, (((1,), (1,)), ((), ()))
                 )
                 # T after the chunk = t_after at the last applied lane
                 # (t_in when none applied) = the min over applied lanes,

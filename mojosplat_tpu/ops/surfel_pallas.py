@@ -57,6 +57,7 @@ from .raster_pallas import (
     _CCOLS,
     _OCOLS,
     _chunk_rows,
+    _dot3,
     _gather_rows,
     _lane_col,
     _lane_cumprod,
@@ -179,11 +180,9 @@ def _fwd_kernel(counts_ref, pdata_ref, out_ref, thist_ref,
                     pix = jnp.concatenate([wz, wz2], axis=1)
                 else:
                     cols_t = g[12:16, :]  # rgb + zero pad row
-                mm = jax.lax.dot_general(
-                    w, cols_t, (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST,
-                )
+                # 3-pass bf16-split blend: half HIGHEST's MXU cost at
+                # ~2^-17 relative error (see raster_pallas._dot3).
+                mm = _dot3(w, cols_t, (((1,), (1,)), ((), ())))
                 if aux:
                     mm = jnp.concatenate([mm, pix], axis=1)
                 acc_s[...] = acc_s[...] + mm

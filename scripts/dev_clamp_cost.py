@@ -12,6 +12,13 @@ SH3, per the VERDICT prescription) and reports:
   - both configs' drop counters (num_isects / capacity_overflow /
     span_truncated / tile_overflow)
 
+Scene note: the raw random-init bench scene is pathological for this
+question — its near-camera splats are enormous (unclamped demand ~43M
+intersections at 250k gaussians, measured), which no finite buffer honestly
+holds. A converged real scene has small splats, so this script clamps the
+log-scales (<= log 0.02) to that regime; the headline scene's own keep
+fraction is reported separately by bench.py --report-aux.
+
 Run on the TPU (cwd=/root/repo):
   python -c "import runpy; runpy.run_path('scripts/dev_clamp_cost.py', run_name='__main__')"
 
@@ -34,10 +41,10 @@ CLAMPED = RenderConfig(
     grad_route_bf16=True,
 )
 # Budgets opened until nothing is dropped (validated by the counters below):
-# span back at the default 32, capacity 16xN = 4.0M slots, tiles to 2048.
+# span back at the default 32, capacity 40xN = 10M slots, tiles to 2048.
 UNCLAMPED = RenderConfig(
     tile_capacity=2048, chunk_size=64, tile_batch=512, max_tile_span=32,
-    isect_padding_multiplier=16,
+    isect_padding_multiplier=40,
     raster_impl="pallas", pallas_chunk=256, pallas_tiles_per_step=8,
     grad_route_bf16=True,
 )
@@ -48,10 +55,10 @@ def main():
         R=jnp.eye(3), T=jnp.zeros(3), H=H, W=W,
         fx=0.5 * W, fy=0.5 * W, cx=W / 2, cy=H / 2,
     )
-    params = mtrain.activate(
-        mtrain.init_gaussians(jax.random.PRNGKey(0), N, sh_degree=SH,
-                              position_scale=2.0)
-    )
+    raw = mtrain.init_gaussians(jax.random.PRNGKey(0), N, sh_degree=SH,
+                                position_scale=2.0)
+    raw["scales"] = jnp.minimum(raw["scales"], jnp.log(0.02))
+    params = mtrain.activate(raw)
 
     def run(config):
         def loss_fn(means3d, p, cam):

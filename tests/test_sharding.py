@@ -380,3 +380,26 @@ def test_zero1_surfel_step_smoke():
             np.asarray(out[True][0].params[k]),
             np.asarray(out[False][0].params[k]), atol=1e-7, err_msg=k,
         )
+
+
+def test_init_multihost_single_host_noop(monkeypatch):
+    from mojosplat_tpu.parallel import init_multihost, is_primary
+    from mojosplat_tpu.parallel import multihost
+
+    monkeypatch.delenv(multihost.ENV_COORD, raising=False)
+    monkeypatch.delenv(multihost.ENV_NPROC, raising=False)
+    monkeypatch.delenv(multihost.ENV_PID, raising=False)
+    assert init_multihost() is False  # nothing configured -> no-op
+    assert is_primary()  # single process is the primary
+    assert len(jax.devices()) == 8  # backend untouched
+
+
+def test_init_multihost_partial_env_rejected(monkeypatch):
+    from mojosplat_tpu.parallel import init_multihost
+    from mojosplat_tpu.parallel import multihost
+
+    monkeypatch.setenv(multihost.ENV_COORD, "localhost:1234")
+    monkeypatch.delenv(multihost.ENV_NPROC, raising=False)
+    monkeypatch.delenv(multihost.ENV_PID, raising=False)
+    with pytest.raises(ValueError):
+        init_multihost()

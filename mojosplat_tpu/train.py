@@ -104,9 +104,17 @@ def ssim(a: jax.Array, b: jax.Array, window_size: int = 11) -> jax.Array:
     kernel = w[None, None, :, :]
 
     def blur(img):
+        # HIGHEST precision is load-bearing: TPU convs default to bf16
+        # inputs, and the variance estimate blur(x^2) - mx^2 then carries
+        # ~0.4%-of-mx^2 cancellation error — larger than c2 = 9e-4 on
+        # smooth/constant regions, where the denominator (sx + sy + c2)
+        # goes tiny or negative and SSIM explodes past 1 (observed mean
+        # SSIM 1.71 on a flat-background scene, driving the training loss
+        # negative and the gradients to NaN).
         return jax.lax.conv_general_dilated(
             img, kernel, (1, 1), "SAME",
             dimension_numbers=("NCHW", "OIHW", "NCHW"),
+            precision=jax.lax.Precision.HIGHEST,
         )
 
     mx, my = blur(x), blur(y)

@@ -180,6 +180,24 @@ def test_gauss_sharded_adam_moments_sharded_step():
     assert moved > 0
 
 
+def test_gauss_sharded_pallas_receiver():
+    """The routed pseudo-gaussian scene also feeds the production Pallas
+    rasterizer (interpret mode) — parity with the sharded XLA route."""
+    mesh = make_gauss_mesh(8)
+    params = scene(48, seed=12)
+    cam = camera()
+    cfg_p = RenderConfig(
+        tile_capacity=128, chunk_size=32, max_tile_span=4,
+        raster_impl="pallas", pallas_chunk=128, pallas_interpret=True,
+    )
+    cfg_x = RenderConfig(tile_capacity=128, chunk_size=32, max_tile_span=4)
+    img_p = render_gaussians_sharded(params, cam, mesh, config=cfg_p)
+    img_x = render_gaussians_sharded(params, cam, mesh, config=cfg_x)
+    np.testing.assert_allclose(
+        np.asarray(img_p), np.asarray(img_x), atol=3e-5
+    )
+
+
 def test_gauss_sharded_route_overflow_counted():
     """A scene concentrated in one slab overflows the per-(src, dst)
     window; the drop must be counted, never silent."""

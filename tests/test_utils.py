@@ -94,6 +94,21 @@ class TestSSIM:
         )
         assert float(ssim(img, noisy)) < 0.9
 
+    def test_ssim_bounded_on_flat_regions(self):
+        """SSIM must never exceed 1 (+fp noise). With default-precision TPU
+        convs the bf16 variance cancellation error dwarfs c2 on constant
+        regions and SSIM exploded to ~1.7 (negative training loss, NaN
+        gradients) — the convs now pin HIGHEST precision. CPU convs can't
+        reproduce the bf16 failure, but this pins the invariant."""
+        import jax, jax.numpy as jnp
+        from mojosplat_tpu.train import ssim
+
+        flat = jnp.zeros((64, 64, 3))
+        half = flat.at[:32].set(0.8)  # flat with one hard edge
+        for a, b in ((flat, flat), (half, half), (half, flat)):
+            val = float(ssim(a, b))
+            assert val <= 1.0 + 1e-5, val
+
     def test_batched_and_differentiable(self):
         import jax, jax.numpy as jnp
         from mojosplat_tpu.train import dssim_l1_loss

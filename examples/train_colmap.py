@@ -165,10 +165,18 @@ def main():
                     "cloud-TPU auto-detection)")
     args = ap.parse_args()
 
-    from mojosplat_tpu.parallel import init_multihost
+    from mojosplat_tpu.parallel import init_multihost, is_primary
 
     # Must precede backend initialization; single-host no-op by default.
     init_multihost(require=args.multihost)
+    if not is_primary():
+        # Workers participate in every collective but must not race the
+        # primary on the shared out_dir (checkpoint rmtree/rename, PLY and
+        # PNG writes) or duplicate logging. Filesystem writes below are
+        # all guarded by this rebind + the primary-only save paths.
+        import builtins
+
+        builtins.print = lambda *a, **k: None
     os.makedirs(args.out_dir, exist_ok=True)
 
     sparse = args.sparse or os.path.join(args.data, "sparse", "0")
@@ -309,25 +317,31 @@ def main():
         # dropping it on resume silently resets densification statistics.
         if dstate is not None:
             like["dstate"] = dstate
-        try:
-            bundle = restore_checkpoint(ckpt_dir, like=like)
-        except Exception as e:
-            if dstate is not None:
-                # Pre-round-4 checkpoints carry no dstate — restore the
-                # rest and keep the zero window rather than failing.
-                del like["dstate"]
-                bundle = restore_checkpoint(ckpt_dir, like=like)
-                print("  note: checkpoint has no densify stats; "
-                      "accumulation window restarts at zero")
-            elif args.bilagrid and "bgrid" in view_params:
+        def bilagrid_hint(e):
+            if args.bilagrid and "bgrid" in view_params:
                 raise SystemExit(
                     "checkpoint restore failed — if --bilagrid was enabled "
                     "AFTER this checkpoint was written, the optimizer trees "
                     "no longer match; restart without --resume or retrain "
                     f"with the original flags.\n  underlying error: {e}"
                 )
-            else:
-                raise
+            raise e
+
+        try:
+            bundle = restore_checkpoint(ckpt_dir, like=like)
+        except Exception as first_err:
+            if dstate is None:
+                bilagrid_hint(first_err)
+            # Pre-round-4 checkpoints carry no dstate — retry without it
+            # and keep the zero window. If the retry ALSO fails, the
+            # failure was never about dstate: surface the ORIGINAL error.
+            del like["dstate"]
+            try:
+                bundle = restore_checkpoint(ckpt_dir, like=like)
+            except Exception:
+                bilagrid_hint(first_err)
+            print("  note: checkpoint has no densify stats; "
+                  "accumulation window restarts at zero")
         state = mtrain.TrainState(*bundle["state"])
         view_params = bundle["view_params"]
         view_state = bundle["view_state"]
@@ -530,15 +544,20 @@ def main():
             dt = time.perf_counter() - t0
             print(f"step {step + 1:5d}  loss {lv:.5f}  "
                   f"{(step + 1) / dt:.2f} steps/s", flush=True)
-        if args.save_every and (step + 1) % args.save_every == 0:
+        if (is_primary() and args.save_every
+                and (step + 1) % args.save_every == 0):
             ply = os.path.join(args.out_dir, f"scene_{step + 1:06d}.ply")
             save_gaussian_ply(ply, jax.device_get(state.params))
             print(f"  saved {ply}")
-        if args.ckpt_every and (step + 1) % args.ckpt_every == 0:
+        if (is_primary() and args.ckpt_every
+                and (step + 1) % args.ckpt_every == 0):
             save_ckpt()
             print(f"  checkpointed step {step + 1} -> {ckpt_dir}")
 
-    # Final artifacts: scene PLY + a rendered/target pair for view 0.
+    # Final artifacts: scene PLY + a rendered/target pair for view 0
+    # (process 0 only — workers must not race the shared out_dir).
+    if not is_primary():
+        return
     save_gaussian_ply(os.path.join(args.out_dir, "scene_final.ply"),
                       jax.device_get(state.params))
     if args.pose_opt:

@@ -191,8 +191,10 @@ def rasterize_gaussians(
 
     ``absgrad_sink``: optional all-zero (N, 2) input whose cotangent is the
     per-gaussian absolute view-space gradient (AbsGS/gsplat absgrad
-    densification statistic; see raster_pallas._gather_rows_abs). Pallas
-    path only.
+    densification statistic). Pallas route: raster_pallas._gather_rows_abs
+    (extra columns on the gradient-routing sort); XLA route: the _abs_tap
+    custom-VJP below — each is the other's same-API oracle
+    (tests/test_absgrad.py).
     """
     ts = config.tile_size
     K = config.chunk_size

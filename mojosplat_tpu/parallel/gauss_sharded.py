@@ -98,7 +98,8 @@ def route_pair_capacity(n_local: int, n_dev: int,
 def _route_slots(params, camera, sh_degree, config, axis_name, n_dev):
     """Steps 1-4: project/bin the local shard, route slot fields to owners.
 
-    Returns (fields (M, R), ltile (M,), depth (M,), counters) where
+    Returns (fields (R, M) field-major, ltile (M,), depth (M,), counters)
+    where
     M = n_dev * cap_pair are this device's RECEIVED slots, ltile is the
     slab-local flat tile id (sentinel = local tile count), and R = 6 + C.
     """
@@ -132,7 +133,13 @@ def _route_slots(params, camera, sh_degree, config, axis_name, n_dev):
         proj.means2d, proj.radii, proj.depths, H, W, config
     )
 
-    # Per-slot blend fields from the LOCAL shard (slot -> local gaussian id).
+    # Per-slot blend fields from the LOCAL shard (slot -> local gaussian
+    # id). FIELD-MAJOR (R, X) throughout: any materialized (X, R<128)
+    # tensor would pad its 9-lane minor dim to 128 on TPU (up to ~14x HBM
+    # at the scales this pipeline exists for — the CLAUDE.md layout rule);
+    # keeping slots on lanes leaves every buffer unpadded. The transposes
+    # around the row gather are layout bitcasts (see
+    # raster_pallas._gather_rows).
     gids = jax.lax.stop_gradient(binning.gaussian_ids)
     safe = jnp.clip(gids, 0, n_local - 1)
     valid = gids >= 0
@@ -142,11 +149,11 @@ def _route_slots(params, camera, sh_degree, config, axis_name, n_dev):
         opacities,
     ] + [colors[:, c] for c in range(C)]
     fields_n = jnp.stack(
-        [c.astype(jnp.float32) for c in field_cols], axis=-1
-    )  # (n_local, R)
+        [c.astype(jnp.float32) for c in field_cols], axis=0
+    )  # (R, n_local) field-major
     slot_fields = jnp.where(
-        valid[:, None], fields_n[safe], 0.0
-    )  # (cap_local, R)
+        valid[None, :], fields_n.T[safe].T, 0.0
+    )  # (R, cap_local)
     slot_depth = jax.lax.stop_gradient(
         jnp.where(valid, proj.depths[safe], jnp.inf)
     )
@@ -165,32 +172,41 @@ def _route_slots(params, camera, sh_degree, config, axis_name, n_dev):
     route_overflow = jnp.sum(jnp.maximum(counts - cap_pair, 0))
 
     def window(arr, fill):
-        pad_width = [(0, cap_pair)] + [(0, 0)] * (arr.ndim - 1)
+        # Windows slice along the SLOT axis (the last one), keeping slots
+        # on lanes everywhere.
+        axis = arr.ndim - 1
+        pad_width = [(0, 0)] * axis + [(0, cap_pair)]
         padded = jnp.pad(arr, pad_width, constant_values=fill)
 
         def one(start):
-            return jax.lax.dynamic_slice_in_dim(padded, start, cap_pair, 0)
+            return jax.lax.dynamic_slice_in_dim(padded, start, cap_pair,
+                                                axis)
 
-        return jax.vmap(one)(bounds[:-1])  # (n_dev, cap_pair, ...)
+        return jax.vmap(one)(bounds[:-1])  # (n_dev, ..., cap_pair)
 
     j = jnp.arange(cap_pair, dtype=jnp.int32)
     in_win = j[None, :] < jnp.minimum(counts, cap_pair)[:, None]
-    w_fields = jnp.where(in_win[..., None], window(slot_fields, 0.0), 0.0)
+    w_fields = jnp.where(
+        in_win[:, None, :], window(slot_fields, 0.0), 0.0
+    )  # (n_dev, R, cap_pair)
     w_tile = jnp.where(in_win, window(slot_tile, n_tiles), n_tiles)
     w_depth = jnp.where(in_win, window(slot_depth, jnp.inf), jnp.inf)
 
     # ICI all-to-all: window d goes to device d; we receive one window from
     # every source. Autodiff transposes this collective, returning slot
-    # cotangents to the shard that owns each gaussian.
-    def a2a(x):
-        flat = x.reshape((n_dev * cap_pair,) + x.shape[2:])
+    # cotangents to the shard that owns each gaussian. Splitting along the
+    # slot axis keeps the field-major layout through the collective.
+    def a2a(x, split_axis):
         return jax.lax.all_to_all(
-            flat, axis_name, split_axis=0, concat_axis=0, tiled=True
+            x, axis_name, split_axis=split_axis, concat_axis=split_axis,
+            tiled=True,
         )
 
-    r_fields = a2a(w_fields)  # (M, R)
-    r_tile = a2a(w_tile)  # (M,)
-    r_depth = a2a(w_depth)
+    r_fields = a2a(
+        jnp.swapaxes(w_fields, 0, 1).reshape(-1, n_dev * cap_pair), 1
+    )  # (R, M)
+    r_tile = a2a(w_tile.reshape(-1), 0)  # (M,)
+    r_depth = a2a(w_depth.reshape(-1), 0)
 
     # Global -> slab-local tile ids; anything not in my slab (only padding,
     # by construction) goes to the local sentinel.
@@ -216,14 +232,16 @@ def _rasterize_routed(fields, ltile, depth, camera, slab_h, config,
     the sorted per-slot fields + an identity id list form a pseudo-gaussian
     scene for the unchanged rasterizer.
     """
-    M = fields.shape[0]
+    M = fields.shape[1]
     th_l, tw = num_tiles(slab_h, camera.W, config.tile_size)
     lt_sorted, _, perm = jax.lax.sort(
         (ltile, depth, jnp.arange(M, dtype=jnp.int32)),
         num_keys=2,
         is_stable=True,
     )
-    fields_s = fields[perm]  # differentiable take; perm is structural
+    # Differentiable column take (perm is structural); transposes around
+    # the row gather are layout bitcasts, keeping (R, M) field-major.
+    fields_s = fields.T[perm].T
 
     boundaries = jnp.searchsorted(
         lt_sorted, jnp.arange(th_l * tw + 1, dtype=jnp.int32), side="left"
@@ -243,11 +261,14 @@ def _rasterize_routed(fields, ltile, depth, camera, slab_h, config,
             span_truncated=jnp.int32(0),
         ),
     )
+    # The rasterizer's public surface takes slot-minor slices; it re-packs
+    # them into field-major columns immediately (gather_tile_data), so XLA
+    # fuses these transposed views without materializing (M, <128) buffers.
     return rasterize_gaussians(
-        fields_s[:, 0:2],
-        fields_s[:, 2:5],
-        fields_s[:, 6:6 + C],
-        fields_s[:, 5],
+        fields_s[0:2].T,
+        fields_s[2:5].T,
+        fields_s[6:6 + C].T,
+        fields_s[5],
         background,
         pseudo,
         slab_h,
@@ -271,7 +292,7 @@ def _render_slab(params, camera, sh_degree, config, background, axis_name,
     # a slab whose rows start at 0 — shift screen-space y into slab space
     # (the same shift render_gaussians applies for viewport_rows).
     row0 = (jax.lax.axis_index(axis_name) * slab_h).astype(fields.dtype)
-    fields = fields.at[:, 1].add(-row0)
+    fields = fields.at[1, :].add(-row0)
     image, raster_aux = _rasterize_routed(
         fields, ltile, depth, camera, slab_h, config, bg, C
     )
@@ -348,6 +369,14 @@ def train_step_gauss_sharded(
     from ..train import TrainState, activate  # local import: no cycle
 
     n_dev = mesh.shape["gauss"]
+    if camera.H % (n_dev * config.tile_size) != 0:
+        # Same contract as render_gaussians_sharded: a height divisible by
+        # n_dev but not by whole tile rows would bin against global tiles
+        # while rasterizing misaligned slabs — silently wrong training.
+        raise ValueError(
+            f"image height {camera.H} must divide into {n_dev} slabs of "
+            f"whole {config.tile_size}-px tile rows"
+        )
     slab_h = camera.H // n_dev
     denom = float(target.size)
 

@@ -40,11 +40,13 @@ def init_multihost(require: bool = False) -> bool:
       3. Nothing set, ``require=False`` -> no-op (single host), returns
          False.
     """
-    coord = os.environ.get(ENV_COORD)
-    nproc = os.environ.get(ENV_NPROC)
-    pid = os.environ.get(ENV_PID)
+    # Empty strings (e.g. an unexpanded shell variable) count as unset so
+    # validation fails with the intended message, not int('').
+    coord = os.environ.get(ENV_COORD) or None
+    nproc = os.environ.get(ENV_NPROC) or None
+    pid = os.environ.get(ENV_PID) or None
     if coord or nproc or pid:
-        if not (coord and nproc is not None and pid is not None):
+        if not (coord and nproc and pid):
             raise ValueError(
                 f"set all three of {ENV_COORD}, {ENV_NPROC}, {ENV_PID} "
                 f"(got coord={coord!r}, nproc={nproc!r}, pid={pid!r})"

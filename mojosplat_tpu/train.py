@@ -258,8 +258,9 @@ def train_step_with_densify_stats(
     (new TrainState, new DensifyState, loss).
 
     ``absgrad=True`` accumulates the ABSOLUTE per-tile view-space gradient
-    (AbsGS / gsplat absgrad; requires config.raster_impl='pallas') instead of
-    the signed sum — opposite-sided tile contributions no longer cancel, so
+    (AbsGS / gsplat absgrad; both raster impls serve it — the Pallas
+    gradient-route extra columns or the XLA _abs_tap) instead of the
+    signed sum — opposite-sided tile contributions no longer cancel, so
     large under-reconstructed gaussians densify reliably. Use a roughly 2-4x
     higher DensifyConfig.grad_threshold with it (gsplat's examples use 8e-4
     absgrad vs 2e-4 signed).

@@ -252,8 +252,9 @@ def test_surfel_ortho_depth_invariance():
         fx=12.0, fy=12.0, cx=24.0, cy=16.0, camera_model="ortho",
         far=1000.0,
     )
-    img1, d1 = render_surfels(
-        means, log_scales, quats, opac, colors, cam, return_depth=True
+    img1, d1, aux1 = render_surfels(
+        means, log_scales, quats, opac, colors, cam, return_depth=True,
+        return_aux=True,
     )
     img2, d2 = render_surfels(
         means.at[:, 2].add(5.0), log_scales, quats, opac, colors, cam,
@@ -262,9 +263,13 @@ def test_surfel_ortho_depth_invariance():
     np.testing.assert_allclose(
         np.asarray(img1), np.asarray(img2), atol=1e-5, rtol=1e-5
     )
-    # Covered pixels shift their blended depth by exactly 5 * coverage.
-    covered = np.asarray(jnp.abs(d1) > 1e-3)
-    assert covered.any()
+    # Blended depth is sum(w z): shifting every z by 5 shifts it by
+    # exactly 5 * coverage = 5 * (1 - final transmittance).
+    coverage = 1.0 - np.asarray(aux1.raster.final_transmittance)
+    assert coverage.max() > 0.3
+    np.testing.assert_allclose(
+        np.asarray(d2 - d1), 5.0 * coverage, atol=2e-4
+    )
 
 
 def test_surfel_fisheye_matches_pinhole_near_axis():

@@ -29,6 +29,13 @@ import sys
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import jax  # noqa: E402
+
+# This machine's TPU plugin force-selects itself via jax config, overriding
+# the JAX_PLATFORMS env var; honor the env var so CPU harness validation
+# with XLA-faked device counts really runs on CPU (see tests/conftest.py).
+if os.environ.get("JAX_PLATFORMS"):
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
 import jax.numpy as jnp  # noqa: E402
 
 from mojosplat_tpu import Camera, RenderConfig  # noqa: E402
@@ -45,8 +52,57 @@ def scaling_point(
     sh_degree: int,
     config: RenderConfig,
     iters: int,
+    pipeline: str = "dp-sp",
 ) -> dict:
-    """Time one sharded train step on an n_devices mesh; return metrics."""
+    """Time one sharded train step on an n_devices mesh; return metrics.
+
+    ``pipeline``:
+      - "dp-sp": camera-DP x tile-row-SP, replicated params, psum'd grads
+        (train.train_step_sharded over a ('data','tile') mesh).
+      - "gauss": the fully gaussian-sharded all-to-all routed pipeline
+        (parallel.train_step_gauss_sharded; params/grads/moments sharded,
+        ZeRO-3) — BASELINE config 5's "tiles + gaussians sharded" point.
+    """
+    optimizer = mtrain.make_optimizer()
+
+    if pipeline == "gauss":
+        from mojosplat_tpu.parallel import (
+            make_gauss_mesh,
+            train_step_gauss_sharded,
+        )
+
+        mesh = make_gauss_mesh(n_devices, jax.devices()[:n_devices])
+        # One camera; height must split into whole tile-row slabs.
+        Hg = (-(-H // (n_devices * config.tile_size))
+              * n_devices * config.tile_size)
+        params = mtrain.init_gaussians(
+            jax.random.PRNGKey(0), n_gaussians, sh_degree=sh_degree
+        )
+        state = mtrain.init_train_state(params, optimizer)
+        camera = Camera.create(
+            R=jnp.eye(3), T=jnp.zeros(3), H=Hg, W=W,
+            fx=0.5 * W, fy=0.5 * W, cx=W / 2, cy=Hg / 2,
+        )
+        target = jnp.zeros((Hg, W, 3), jnp.float32)
+
+        def step(state, camera, target):
+            new_state, loss = train_step_gauss_sharded(
+                state, camera, target, optimizer, mesh,
+                sh_degree=sh_degree, config=config,
+            )
+            return loss + 0.0 * sum(
+                jnp.sum(v) for v in new_state.params.values()
+            )
+
+        ms = amortized_ms(step, (state, camera, target), iters=iters)
+        return {
+            "devices": n_devices,
+            "mesh": {"gauss": n_devices},
+            "pipeline": pipeline,
+            "step_ms": ms,
+            "pixels_per_s": Hg * W / (ms * 1e-3),
+        }
+
     n_data = 2 if n_devices % 2 == 0 and n_devices > 1 else 1
     n_tile = n_devices // n_data
     mesh = make_mesh(n_data, n_tile, jax.devices()[:n_devices])
@@ -54,7 +110,6 @@ def scaling_point(
     params = mtrain.init_gaussians(
         jax.random.PRNGKey(0), n_gaussians, sh_degree=sh_degree
     )
-    optimizer = mtrain.make_optimizer()
     state = mtrain.init_train_state(params, optimizer)
 
     B = n_data  # one camera per data row
@@ -83,6 +138,7 @@ def scaling_point(
     return {
         "devices": n_devices,
         "mesh": {"data": n_data, "tile": n_tile},
+        "pipeline": pipeline,
         "step_ms": ms,
         "pixels_per_s": pixels / (ms * 1e-3),
     }
@@ -99,6 +155,12 @@ def main():
     ap.add_argument(
         "--devices", type=int, nargs="*", default=None,
         help="device counts to sweep (default: 1,2,4,... up to available)",
+    )
+    ap.add_argument(
+        "--pipeline", default="dp-sp", choices=["dp-sp", "gauss"],
+        help="'dp-sp' = camera-DP x tile-SP with replicated params; "
+        "'gauss' = the fully gaussian-sharded all-to-all routed pipeline "
+        "(params/grads/moments sharded, ZeRO-3)",
     )
     ap.add_argument(
         "--multihost", action="store_true",
@@ -132,9 +194,14 @@ def main():
     print(f"backend={jax.default_backend()} devices_available={avail}")
     results = []
     for d in counts:
+        if args.pipeline == "gauss" and args.gaussians % d != 0:
+            print(f"skipping d={d}: gaussians not divisible by device "
+                  "count (sharded leading axis)")
+            continue
         r = scaling_point(
             d, args.gaussians, args.height, args.width,
             args.sh_degree, config, args.iterations,
+            pipeline=args.pipeline,
         )
         results.append(r)
         print(json.dumps(r))

@@ -70,25 +70,41 @@ def family(render, params, sh_degree):
 
 
 def main():
+    import os
+
     params = mtrain.activate(
         mtrain.init_gaussians(jax.random.PRNGKey(0), N, sh_degree=2,
                               position_scale=2.0)
     )
-    rec = {
+    # Resumable: each family's record is flushed to OUT as soon as it is
+    # measured, so a crash in the second compile keeps the first result.
+    rec = {}
+    if os.path.exists(OUT):
+        with open(OUT) as f:
+            rec = json.load(f)
+    rec.update({
         "workload": f"{N} gaussians @ {W}x{H}, SH2, span 8, cap 512",
         "device": jax.devices()[0].device_kind,
         "note": "forward blend uses the 3-pass bf16-split dot "
                 "(raster_pallas._dot3) in both kernel families",
-        "3dgs": family(render_gaussians, params, 2),
-    }
-    print(json.dumps(rec["3dgs"], indent=1), flush=True)
-    sparams = dict(params)
-    sparams["scales"] = params["scales"][:, :2]
-    rec["2dgs"] = family(render_surfels, sparams, 2)
-    print(json.dumps(rec["2dgs"], indent=1), flush=True)
-    with open(OUT, "w") as f:
-        json.dump(rec, f, indent=1)
-    print("wrote", OUT, flush=True)
+    })
+
+    def flush():
+        with open(OUT, "w") as f:
+            json.dump(rec, f, indent=1)
+        print("wrote", OUT, flush=True)
+
+    only = sys.argv[2] if len(sys.argv) > 2 else None
+    if only in (None, "3dgs") and "3dgs" not in rec:
+        rec["3dgs"] = family(render_gaussians, params, 2)
+        print(json.dumps(rec["3dgs"], indent=1), flush=True)
+        flush()
+    if only in (None, "2dgs") and "2dgs" not in rec:
+        sparams = dict(params)
+        sparams["scales"] = params["scales"][:, :2]
+        rec["2dgs"] = family(render_surfels, sparams, 2)
+        print(json.dumps(rec["2dgs"], indent=1), flush=True)
+        flush()
 
 
 if __name__ == "__main__":

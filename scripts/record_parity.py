@@ -71,6 +71,7 @@ def family(render, params, sh_degree):
 
 def main():
     import os
+    import subprocess
 
     params = mtrain.activate(
         mtrain.init_gaussians(jax.random.PRNGKey(0), N, sh_degree=2,
@@ -78,11 +79,27 @@ def main():
     )
     # Resumable: each family's record is flushed to OUT as soon as it is
     # measured, so a crash in the second compile keeps the first result.
+    # Resume only applies to results recorded at the SAME git revision —
+    # otherwise a stale measurement from an older kernel could silently be
+    # relabeled as current (round-4 advisor finding).
+    try:
+        rev = subprocess.run(
+            ["git", "rev-parse", "HEAD"], capture_output=True, text=True,
+            check=True, cwd=os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__)))).stdout.strip()
+    except Exception:
+        rev = "unknown"
     rec = {}
     if os.path.exists(OUT):
         with open(OUT) as f:
             rec = json.load(f)
+        if rec.get("git_rev") != rev:
+            print(f"discarding stale results in {OUT} "
+                  f"(recorded at {rec.get('git_rev')}, HEAD is {rev})",
+                  flush=True)
+            rec = {}
     rec.update({
+        "git_rev": rev,
         "workload": f"{N} gaussians @ {W}x{H}, SH2, span 8, cap 512",
         "device": jax.devices()[0].device_kind,
         "note": "forward blend uses the 3-pass bf16-split dot "

@@ -55,8 +55,10 @@ def main():
     rng = np.random.default_rng(11)
     scene = cm.load_scene(SPARSE)
     cam = scene.cameras[1]
-    W, H = cam.width, cam.height
-    fx = cam.params[0]
+    # Full intrinsics from the COLMAP record (fy/cx/cy may differ from the
+    # fx / W/2 / H/2 assumptions on non-synthetic captures — round-4
+    # advisor finding).
+    fx, fy, cx, cy, W, H, _dist, _model = cm.camera_intrinsics(cam)
 
     ply = load_gaussian_ply(os.path.join(ROOT, "gt.ply"))
     means = np.asarray(ply["means3d"], np.float64)
@@ -75,14 +77,17 @@ def main():
         osel = rng.choice(N_SFM, N_OBS, replace=False)
         pc = pts_xyz[osel] @ R.T + T
         z = pc[:, 2]
-        u = fx * pc[:, 0] / np.maximum(z, 1e-6) + W / 2
-        v = fx * pc[:, 1] / np.maximum(z, 1e-6) + H / 2
+        u = fx * pc[:, 0] / np.maximum(z, 1e-6) + cx
+        v = fy * pc[:, 1] / np.maximum(z, 1e-6) + cy
         ok = (z > 0.2) & (u >= 0) & (u < W) & (v >= 0) & (v < H)
         obs_per_view.append(
             (np.stack([u[ok], v[ok]], -1), osel[ok].astype(np.int64))
         )
 
-    with open(os.path.join(SPARSE, "images.bin"), "wb") as f:
+    # Write to temp files and os.replace() only after the round-trip check
+    # passes — an in-place overwrite that crashes mid-write would truncate
+    # the only copy of the sparse model (round-4 advisor finding).
+    with open(os.path.join(SPARSE, "images.bin.tmp"), "wb") as f:
         f.write(struct.pack("<Q", len(images)))
         for im, (xys, pids) in zip(images, obs_per_view):
             R = cm.qvec_to_rotmat(im.qvec)
@@ -97,7 +102,7 @@ def main():
             rec[:, 2] = np.asarray(pids, "<i8").view("<f8")
             f.write(rec.tobytes())
 
-    with open(os.path.join(SPARSE, "points3D.bin"), "wb") as f:
+    with open(os.path.join(SPARSE, "points3D.bin.tmp"), "wb") as f:
         f.write(struct.pack("<Q", pts_xyz.shape[0]))
         for pid in range(pts_xyz.shape[0]):
             f.write(struct.pack("<Q", pid))
@@ -107,10 +112,28 @@ def main():
             f.write(struct.pack("<d", 0.5))
             f.write(struct.pack("<Q", 0))
 
-    check = cm.load_scene(SPARSE, with_points2d=True)
-    assert check.points_xyz.shape[0] == N_SFM
-    assert len(check.images) == len(images)
-    n_obs = sum(im.point3d_ids.shape[0] for im in check.images)
+    # Validate the new model from a staging dir before touching the
+    # originals, then atomically swap both files into place.
+    stage = os.path.join(ROOT, "sparse", "_stage")
+    os.makedirs(stage, exist_ok=True)
+    try:
+        import shutil
+
+        shutil.copyfile(os.path.join(SPARSE, "cameras.bin"),
+                        os.path.join(stage, "cameras.bin"))
+        for name in ("images.bin", "points3D.bin"):
+            os.replace(os.path.join(SPARSE, name + ".tmp"),
+                       os.path.join(stage, name))
+        check = cm.load_scene(stage, with_points2d=True)
+        assert check.points_xyz.shape[0] == N_SFM
+        assert len(check.images) == len(images)
+        n_obs = sum(im.point3d_ids.shape[0] for im in check.images)
+        for name in ("images.bin", "points3D.bin"):
+            os.replace(os.path.join(stage, name), os.path.join(SPARSE, name))
+    finally:
+        import shutil
+
+        shutil.rmtree(stage, ignore_errors=True)
     print(f"rewrote sparse model: {N_SFM} points, "
           f"{n_obs} observations over {len(images)} views", flush=True)
 

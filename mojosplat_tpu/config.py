@@ -82,6 +82,15 @@ class RenderConfig:
     # Intersection buffer capacity = isect_padding_multiplier * N (rounded up
     # to a multiple of 1024); entries past capacity are dropped and counted.
     isect_padding_multiplier: int = 4
+    # Tight contribution-aware intersection culling (3DGS conic path only):
+    # candidate tiles of the AABB whose peak alpha over the tile's pixel
+    # extent cannot reach alpha_threshold are never emitted (the blend
+    # kernels would zero them anyway, so this is image/gradient-neutral
+    # short of budget overflow — under overflow it improves which slots
+    # survive). The reference's AABB test admits ~30-50% such slots for
+    # anisotropic splats (/root/reference/mojosplat/binning.py:138-155).
+    # Requires max_tile_span <= 8 (the candidate bitmask is 3x22 bits).
+    tight_cull: bool = False
     # Dense per-tile table capacity for the pure-JAX tiled rasterizer.
     tile_capacity: int = 512
     # Gaussians blended per vectorized chunk inside the rasterizer.

@@ -59,6 +59,10 @@ class BinningAux(NamedTuple):
     num_isects: jax.Array  # real intersections kept (<= capacity)
     capacity_overflow: jax.Array  # intersections dropped because buffer filled
     span_truncated: jax.Array  # tile slots lost to per-gaussian span capping
+    # AABB slots proven zero-contribution by the tight conic-vs-tile test
+    # (tight_cull mode; 0 otherwise). Unlike the two counters above these
+    # are never lost work: the blend kernels would have zeroed them anyway.
+    tight_culled: jax.Array
 
 
 class BinningResult(NamedTuple):
@@ -76,6 +80,107 @@ class BinningResult(NamedTuple):
     tile_ids: jax.Array
     tile_ranges: jax.Array
     aux: BinningAux
+
+
+# Bits of tile-candidate mask per f32 payload row. 22 keeps every mask row
+# an exact non-negative integer under both the f32 sort payloads and the
+# expand kernel's 3x-bf16 limb reconstruction (expand_pallas.py bounds its
+# exactness at 2^22).
+_MASK_BITS = 22
+# Tight culling stores one bit per candidate tile of the span x span
+# rectangle in at most 3 mask rows (the expand kernel holds 8 field rows
+# total), so it supports max_tile_span <= 8.
+_MAX_TIGHT_BITS = 3 * _MASK_BITS
+
+
+def _rect_min_sigma(a, b, c, inva, invc, lx, hx, ly, hy):
+    """Minimum of sigma(u, v) = 0.5(a u^2 + c v^2) + b u v over the
+    displacement rectangle [lx, hx] x [ly, hy].
+
+    The conic is positive-definite (eps2d dilation, projection.py), so the
+    minimum is 0 when the origin lies inside the rectangle and otherwise
+    sits on one of the four edges, where it is a 1D quadratic minimized in
+    closed form (clamped vertex).
+    """
+    def edge_u(u):  # fixed u, minimize over v
+        v = jnp.clip(-b * u * invc, ly, hy)
+        return 0.5 * (a * u * u + c * v * v) + b * u * v
+
+    def edge_v(v):
+        u = jnp.clip(-b * v * inva, lx, hx)
+        return 0.5 * (a * u * u + c * v * v) + b * u * v
+
+    q = jnp.minimum(
+        jnp.minimum(edge_u(lx), edge_u(hx)),
+        jnp.minimum(edge_v(ly), edge_v(hy)),
+    )
+    inside = (lx <= 0) & (hx >= 0) & (ly <= 0) & (hy >= 0)
+    return jnp.where(inside, 0.0, q)
+
+
+def _tight_tile_masks(means2d, conics, opacities, tx_min, ty_min,
+                      span_x, span_y, ts, span, alpha_threshold):
+    """Per-gaussian survivor count + candidate bitmasks for tight culling.
+
+    For every candidate tile (kx, ky) of the truncated span x span
+    rectangle, a slot survives iff the gaussian's peak alpha over the
+    tile's pixel-center extent reaches the blend threshold:
+    max_rect opacity * exp(-sigma) >= alpha_threshold. This is exactly the
+    keep test the blend kernels apply per pixel (_chunk_geometry /
+    _pixel_alphas), evaluated at the continuous rectangle minimum of
+    sigma — conservative versus the discrete pixel centers, so a culled
+    slot provably contributes zero to every pixel and dropping it is
+    image- and gradient-neutral. The reference's AABB admits ~30-50%
+    such never-contributing slots for anisotropic splats
+    (/root/reference/mojosplat/binning.py:138-155 carries the same AABB).
+
+    Returns (counts (N,) int32, [mask_row (N,) int32, ...]) with bit
+    j = ky * span + kx of row j // _MASK_BITS set for survivors.
+    """
+    mx, my = means2d[:, 0], means2d[:, 1]
+    a = conics[:, 0].astype(jnp.float32)
+    b = conics[:, 1].astype(jnp.float32)
+    c = conics[:, 2].astype(jnp.float32)
+    inva = 1.0 / jnp.maximum(a, 1e-12)
+    invc = 1.0 / jnp.maximum(c, 1e-12)
+    smax = jnp.log(
+        jnp.maximum(opacities.astype(jnp.float32), 1e-12) / alpha_threshold
+    )
+    n_bits = span * span
+    n_rows = -(-n_bits // _MASK_BITS)
+    masks = [jnp.zeros(mx.shape, jnp.int32) for _ in range(n_rows)]
+    counts = jnp.zeros(mx.shape, jnp.int32)
+    for j in range(n_bits):
+        ky, kx = divmod(j, span)
+        lx = (tx_min + kx).astype(jnp.float32) * ts + 0.5 - mx
+        hx = lx + (ts - 1)
+        ly = (ty_min + ky).astype(jnp.float32) * ts + 0.5 - my
+        hy = ly + (ts - 1)
+        q = _rect_min_sigma(a, b, c, inva, invc, lx, hx, ly, hy)
+        hit = (kx < span_x) & (ky < span_y) & (q <= smax)
+        hit_i = hit.astype(jnp.int32)
+        counts = counts + hit_i
+        masks[j // _MASK_BITS] = masks[j // _MASK_BITS] | (
+            hit_i << (j % _MASK_BITS)
+        )
+    return counts, masks
+
+
+def _decode_mask_tile(k, mask_rows, span, tw, g_tx, g_ty):
+    """Flat tile id of a slot's k-th surviving candidate (k-th set bit of
+    the row-major span x span mask). ``cnt == k`` fires exactly once (cnt
+    counts set bits strictly before j), so a masked accumulate decodes the
+    position without a carry-dependent scan."""
+    cnt = jnp.zeros_like(k)
+    acc = jnp.zeros_like(k)
+    for j in range(span * span):
+        bit = (mask_rows[j // _MASK_BITS] >> (j % _MASK_BITS)) & 1
+        hit = (bit == 1) & (cnt == k)
+        ky, kx = divmod(j, span)
+        if ky or kx:
+            acc = acc + jnp.where(hit, jnp.int32(ky * tw + kx), 0)
+        cnt = cnt + bit
+    return g_ty * tw + g_tx + acc
 
 
 def isect_capacity(n_gaussians: int, config: RenderConfig) -> int:
@@ -97,11 +202,20 @@ def bin_gaussians_to_tiles(
     img_width: int,
     config: RenderConfig = DEFAULT_CONFIG,
     capacity: int | None = None,
+    conics: jax.Array | None = None,  # (N, 3) for tight culling
+    opacities: jax.Array | None = None,  # (N,) for tight culling
 ) -> BinningResult:
     """Bin gaussians into screen tiles, depth-sorted within each tile.
 
     Same role as bin_gaussians_to_tiles (binning.py:8-37) without the backend
     dispatch.
+
+    With ``config.tight_cull`` and ``conics``/``opacities`` supplied, each
+    candidate tile of the AABB additionally passes the exact conic-vs-tile
+    peak-alpha test (_tight_tile_masks): never-contributing slots are not
+    emitted at all, so the static capacity holds only slots the blend
+    kernels would actually apply. Image/gradient-neutral when nothing
+    overflows; under overflow it strictly improves which slots survive.
     """
     N = means2d.shape[0]
     ts = config.tile_size
@@ -110,12 +224,22 @@ def bin_gaussians_to_tiles(
     n_tiles = th * tw
     if capacity is None:
         capacity = isect_capacity(N, config)
+    tight = (
+        config.tight_cull and conics is not None and opacities is not None
+    )
+    if tight and span * span > _MAX_TIGHT_BITS:
+        raise ValueError(
+            f"tight_cull supports max_tile_span <= 8 (candidate masks are "
+            f"{_MAX_TIGHT_BITS} bits); got {span}"
+        )
 
     # Binning output is pure structure (which gaussian lands in which tile,
     # in what order); its gradients are zero by design, matching the
     # reference where binning is index bookkeeping. Stopping here also keeps
     # autodiff away from the non-differentiable expand kernel below.
     means2d, depths = jax.lax.stop_gradient((means2d, depths))
+    if tight:
+        conics, opacities = jax.lax.stop_gradient((conics, opacities))
 
     x, y = means2d[:, 0], means2d[:, 1]
     rx = radii[:, 0].astype(means2d.dtype)
@@ -143,6 +267,16 @@ def bin_gaussians_to_tiles(
     span_y = jnp.minimum(span_y, span)
     counts = span_x * span_y
     span_truncated = jnp.sum(orig_area - counts)
+
+    if tight:
+        counts, cand_masks = _tight_tile_masks(
+            means2d, conics, opacities, tx_min, ty_min, span_x, span_y,
+            ts, span, config.alpha_threshold,
+        )
+        tight_culled = jnp.sum(span_x * span_y - counts)
+    else:
+        cand_masks = []
+        tight_culled = jnp.int32(0)
 
     slot = jnp.arange(capacity, dtype=jnp.int32)
     if N >= (1 << 24):
@@ -174,16 +308,26 @@ def bin_gaussians_to_tiles(
     )
     sortkey = jnp.where(counts == 0, jnp.inf, depth_key)
     geom = tx_min | (ty_min << 13)
+    # Tight mode: survivor count no longer equals the span product, so pack
+    # it into the spans payload (counts <= 66 fits bits 16..22); the
+    # candidate mask rows ride the presort as extra payload operands.
     spans = span_x | (span_y << 8)
-    depths_p, geom_p, spans_p, index_p = jax.lax.sort(
-        (sortkey, geom, spans, jnp.arange(N, dtype=jnp.int32)),
+    if tight:
+        spans = spans | (counts << 16)
+    ops = jax.lax.sort(
+        (sortkey, geom, spans, jnp.arange(N, dtype=jnp.int32), *cand_masks),
         num_keys=1,
         is_stable=True,
     )
+    depths_p, geom_p, spans_p, index_p = ops[:4]
+    masks_p = list(ops[4:])
     tx_min_p = geom_p & 0x1FFF
     ty_min_p = geom_p >> 13
     span_x_p = spans_p & 0xFF
-    counts_p = span_x_p * (spans_p >> 8)
+    if tight:
+        counts_p = spans_p >> 16
+    else:
+        counts_p = span_x_p * (spans_p >> 8)
     offsets_p = jnp.cumsum(counts_p) - counts_p  # exclusive prefix sum
     total = jnp.where(
         N > 0, offsets_p[-1] + counts_p[-1], 0
@@ -203,26 +347,40 @@ def bin_gaussians_to_tiles(
         # 1080p/1M).
         from .expand_pallas import segment_expand_offsets
 
-        fields_t = jnp.stack(
-            [offsets_p, span_x_p, tx_min_p, ty_min_p, index_p], axis=0
-        ).astype(jnp.float32)  # (5, N) depth-sorted, compacted-first
+        base_rows = [offsets_p, tx_min_p, ty_min_p, index_p]
+        if tight:
+            # Mask rows replace span_x: the slot decodes its tile from the
+            # k-th set bit of the candidate mask on the STATIC span grid
+            # (_decode_mask_tile), not from a rectangle walk.
+            rows = base_rows + masks_p
+        else:
+            rows = base_rows[:1] + [span_x_p] + base_rows[1:]
+        fields_t = jnp.stack(rows, axis=0).astype(jnp.float32)
         g = segment_expand_offsets(
             fields_t, capacity, interpret=config.pallas_interpret
         )[:, :capacity]
-        g_off = g[0].astype(jnp.int32)
-        g_sx = g[1].astype(jnp.int32)
-        g_tx = g[2].astype(jnp.int32)
-        g_ty = g[3].astype(jnp.int32)
-        g_gid = g[4].astype(jnp.int32)
-
         in_range = slot < total
-        k = slot - g_off
-        sx = jnp.maximum(g_sx, 1)
-        ky = k // sx
-        kx = k - ky * sx
-        tile_buf = jnp.where(
-            in_range, (g_ty + ky) * tw + (g_tx + kx), n_tiles
-        )
+        if tight:
+            g_off = g[0].astype(jnp.int32)
+            g_tx = g[1].astype(jnp.int32)
+            g_ty = g[2].astype(jnp.int32)
+            g_gid = g[3].astype(jnp.int32)
+            g_masks = [g[4 + r].astype(jnp.int32) for r in range(len(masks_p))]
+            tile = _decode_mask_tile(
+                slot - g_off, g_masks, span, tw, g_tx, g_ty
+            )
+        else:
+            g_off = g[0].astype(jnp.int32)
+            g_sx = g[1].astype(jnp.int32)
+            g_tx = g[2].astype(jnp.int32)
+            g_ty = g[3].astype(jnp.int32)
+            g_gid = g[4].astype(jnp.int32)
+            k = slot - g_off
+            sx = jnp.maximum(g_sx, 1)
+            ky = k // sx
+            kx = k - ky * sx
+            tile = (g_ty + ky) * tw + (g_tx + kx)
+        tile_buf = jnp.where(in_range, tile, n_tiles)
         gid_buf = jnp.where(in_range, g_gid, -1)
 
         # Stable sort on the tile key alone: within a tile, slots are
@@ -271,10 +429,11 @@ def bin_gaussians_to_tiles(
                 ty_min_p.astype(jnp.float32),
                 depths_p,  # +inf on empty gaussians (never in-range)
                 index_p.astype(jnp.float32),
-            ],
+            ]
+            + [m.astype(jnp.float32) for m in masks_p],
             axis=-1,
-        )  # (N, 6) depth-sorted, compacted-first
-        g = fields[safe_rank]  # (capacity, 6)
+        )  # (N, 6 [+ mask rows]) depth-sorted, compacted-first
+        g = fields[safe_rank]  # (capacity, 6 [+ masks])
         g_off = g[:, 0].astype(jnp.int32)
         g_sx = g[:, 1].astype(jnp.int32)
         g_tx = g[:, 2].astype(jnp.int32)
@@ -283,12 +442,17 @@ def bin_gaussians_to_tiles(
         g_gid = g[:, 5].astype(jnp.int32)
 
         k = slot - g_off
-        sx = jnp.maximum(g_sx, 1)
-        ky = k // sx
-        kx = k - ky * sx
-        tile_buf = jnp.where(
-            in_range, (g_ty + ky) * tw + (g_tx + kx), n_tiles
-        )
+        if tight:
+            g_masks = [
+                g[:, 6 + r].astype(jnp.int32) for r in range(len(masks_p))
+            ]
+            tile = _decode_mask_tile(k, g_masks, span, tw, g_tx, g_ty)
+        else:
+            sx = jnp.maximum(g_sx, 1)
+            ky = k // sx
+            kx = k - ky * sx
+            tile = (g_ty + ky) * tw + (g_tx + kx)
+        tile_buf = jnp.where(in_range, tile, n_tiles)
         gid_buf = jnp.where(in_range, g_gid, -1)
         depth_buf = jnp.where(in_range, g_depth, jnp.inf)
 
@@ -313,6 +477,7 @@ def bin_gaussians_to_tiles(
         num_isects=num_isects,
         capacity_overflow=jnp.maximum(total - capacity, 0).astype(jnp.int32),
         span_truncated=span_truncated.astype(jnp.int32),
+        tight_culled=tight_culled.astype(jnp.int32),
     )
     return BinningResult(
         gaussian_ids=sorted_gid,

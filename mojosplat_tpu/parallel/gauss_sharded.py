@@ -130,7 +130,8 @@ def _route_slots(params, camera, sh_degree, config, axis_name, n_dev):
     if config.antialiased:
         opacities = opacities * proj.compensations
     binning = bin_gaussians_to_tiles(
-        proj.means2d, proj.radii, proj.depths, H, W, config
+        proj.means2d, proj.radii, proj.depths, H, W, config,
+        conics=proj.conics, opacities=opacities,
     )
 
     # Per-slot blend fields from the LOCAL shard (slot -> local gaussian
@@ -259,6 +260,7 @@ def _rasterize_routed(fields, ltile, depth, camera, slab_h, config,
             num_isects=boundaries[-1],
             capacity_overflow=jnp.int32(0),
             span_truncated=jnp.int32(0),
+            tight_culled=jnp.int32(0),
         ),
     )
     # The rasterizer's public surface takes slot-minor slices; it re-packs

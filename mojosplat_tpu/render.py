@@ -142,7 +142,8 @@ def render_gaussians(
         opacities = opacities * proj.compensations
 
     binning = bin_gaussians_to_tiles(
-        means2d, proj.radii, proj.depths, out_h, camera.W, config
+        means2d, proj.radii, proj.depths, out_h, camera.W, config,
+        conics=proj.conics, opacities=opacities,
     )
     if return_depth:
         # Blend camera-space depth as a fourth channel (zero background):

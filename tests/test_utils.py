@@ -64,6 +64,7 @@ def test_log_render_aux():
             num_isects=jnp.int32(10),
             capacity_overflow=jnp.int32(0),
             span_truncated=jnp.int32(2),
+            tight_culled=jnp.int32(0),
         ),
         raster=RasterAux(
             final_transmittance=jnp.ones((4, 4)), tile_overflow=jnp.int32(0)

@@ -42,17 +42,56 @@ from mojosplat_tpu import Camera, RenderConfig, render_gaussians
 from mojosplat_tpu import train as mtrain
 
 
+def load_scene_params(path):
+    """Trained-scene params from a compressed .npz or gaussian .ply."""
+    if path.endswith(".npz"):
+        from mojosplat_tpu.utils.compress import load_compressed_scene
+
+        raw = load_compressed_scene(path)
+    else:
+        from mojosplat_tpu.utils.ply import load_gaussian_ply
+
+        raw = load_gaussian_ply(path)
+    return mtrain.activate({k: jnp.asarray(v) for k, v in raw.items()})
+
+
+def scene_camera(H, W):
+    """Deterministic eval view of the synthetic capture's scene: the ring
+    convention of scripts/make_synth_colmap.py (orbit radius 3.9, target
+    [0, 0.4, 0], fx = 0.72 W) at an angle none of the training views use."""
+    import numpy as np
+
+    ang = 0.618  # golden-angle-ish: between training views
+    eye = np.array([3.9 * np.sin(ang), -0.75, 3.9 * np.cos(ang)])
+    up = np.array([0.0, 1.0, 0.0])
+    forward = np.array([0.0, 0.4, 0.0]) - eye
+    forward /= np.linalg.norm(forward)
+    right = np.cross(forward, up)
+    right /= np.linalg.norm(right)
+    down = np.cross(forward, right)
+    R = np.stack([right, down, forward]).astype(np.float32)
+    T = (-R @ eye).astype(np.float32)
+    return Camera.create(
+        R=R, T=T, H=H, W=W, fx=0.72 * W, fy=0.72 * W, cx=W / 2, cy=H / 2,
+    )
+
+
 def build_loop(n, H, W, sh_degree, config, mode, iters, family="3dgs",
-               maps=False):
-    camera = Camera.create(
-        R=jnp.eye(3), T=jnp.zeros(3), H=H, W=W,
-        fx=0.5 * W, fy=0.5 * W, cx=W / 2, cy=H / 2,
-    )
-    params = mtrain.activate(
-        mtrain.init_gaussians(
-            jax.random.PRNGKey(0), n, sh_degree=sh_degree, position_scale=2.0
+               maps=False, scene_params=None):
+    if scene_params is not None:
+        params = scene_params
+        camera = scene_camera(H, W)
+    else:
+        camera = Camera.create(
+            R=jnp.eye(3), T=jnp.zeros(3), H=H, W=W,
+            fx=0.5 * W, fy=0.5 * W, cx=W / 2, cy=H / 2,
         )
-    )
+        params = mtrain.activate(
+            mtrain.init_gaussians(
+                jax.random.PRNGKey(0), n, sh_degree=sh_degree,
+                position_scale=2.0,
+            )
+        )
     if family == "2dgs":
         from mojosplat_tpu.surfel import render_surfels
 
@@ -73,7 +112,8 @@ def build_loop(n, H, W, sh_degree, config, mode, iters, family="3dgs",
         )
         aux = out[-1]
         return (aux.binning.num_isects, aux.binning.capacity_overflow,
-                aux.binning.span_truncated, aux.raster.tile_overflow)
+                aux.binning.span_truncated, aux.raster.tile_overflow,
+                aux.binning.tight_culled)
 
     def forward(p, cam):
         if maps:
@@ -178,6 +218,21 @@ def main():
                     help="pallas tiles per grid step")
     ap.add_argument("--chunk", type=int, default=256,
                     help="pallas gaussians per chunk")
+    ap.add_argument("--tile-size", type=int, default=16,
+                    help="raster tile size in pixels")
+    ap.add_argument("--span", type=int, default=8,
+                    help="max tile span per gaussian per axis")
+    ap.add_argument("--capacity-mult", type=int, default=4,
+                    help="intersection capacity as a multiple of N")
+    ap.add_argument("--tile-capacity", type=int, default=512,
+                    help="per-tile slot capacity")
+    ap.add_argument(
+        "--tight-cull", action=argparse.BooleanOptionalAction,
+        default=False,
+        help="contribution-aware intersection culling (3DGS only): drop "
+        "AABB slots whose peak alpha over the tile cannot reach the blend "
+        "threshold",
+    )
     ap.add_argument(
         "--family", default="3dgs", choices=["3dgs", "2dgs"],
         help="primitive family (2dgs = the surfel Pallas kernels; metric "
@@ -196,6 +251,12 @@ def main():
     )
     ap.add_argument("--skip-probe", action="store_true",
                     help="skip the device-reachability probe (dev/CPU runs)")
+    ap.add_argument(
+        "--scene", default=None,
+        help="render a trained scene artifact (.npz compressed or .ply) "
+        "instead of the random-init cloud; the metric name gains a "
+        "_trained suffix and --gaussians is taken from the file",
+    )
     ap.add_argument(
         "--report-aux", action=argparse.BooleanOptionalAction, default=True,
         help="include the binning/raster drop counters (num_isects, "
@@ -238,19 +299,30 @@ def main():
             return
 
     config = RenderConfig(
-        tile_capacity=512,
+        tile_size=args.tile_size,
+        tile_capacity=args.tile_capacity,
         chunk_size=64,
         tile_batch=512,
-        max_tile_span=8,
+        max_tile_span=args.span,
+        isect_padding_multiplier=args.capacity_mult,
+        tight_cull=args.tight_cull,
         raster_impl=args.impl,
         pallas_chunk=args.chunk,
         pallas_tiles_per_step=args.tps,
         grad_route_bf16=args.bf16_grads,
     )
     sh = args.sh_degree if args.sh_degree >= 0 else None
+    scene_params = None
+    if args.scene:
+        scene_params = load_scene_params(args.scene)
+        args.gaussians = int(scene_params["means3d"].shape[0])
+        k = scene_params["features"].shape[1]
+        args.sh_degree = int(round(k ** 0.5)) - 1
+        sh = args.sh_degree
     fn, fn1, params, camera, aux_fn = build_loop(
         args.gaussians, args.height, args.width, sh, config, args.mode,
         args.iters, family=args.family, maps=args.maps,
+        scene_params=scene_params,
     )
 
     float(fn1(params, camera))  # compile
@@ -269,6 +341,7 @@ def main():
         f"{args.height}p_sh{args.sh_degree}"
         + ("_2dgs" if args.family == "2dgs" else "")
         + ("_maps" if args.maps else "")
+        + ("_trained" if args.scene else "")
     )
     prev = previous_round_value(metric)
     vs_baseline = pixels_per_s / prev if prev else 1.0
@@ -279,8 +352,8 @@ def main():
         "vs_baseline": round(vs_baseline, 4),
     }
     if args.report_aux:
-        num_isects, cap_of, span_tr, tile_of = map(int, aux_fn(params,
-                                                               camera))
+        num_isects, cap_of, span_tr, tile_of, tight_cl = map(
+            int, aux_fn(params, camera))
         from mojosplat_tpu.utils.profiling import roofline_report
 
         kind = jax.devices()[0].device_kind.lower()
@@ -295,7 +368,10 @@ def main():
             sh_bases=(args.sh_degree + 1) ** 2 if sh is not None else 1,
             backward=args.mode == "fwdbwd",
             chip=chip,
+            tile_size=args.tile_size,
         )
+        # Tight-culled slots are provably zero-contribution, so they are
+        # not part of the honest demand (the kernels would zero them).
         demanded = num_isects + cap_of + span_tr
         record.update({
             "step_ms": round(dt * 1e3, 2),
@@ -303,6 +379,8 @@ def main():
             "capacity_overflow": cap_of,
             "span_truncated": span_tr,
             "tile_overflow": tile_of,
+            "tight_culled": tight_cl,
+            "tile_size": args.tile_size,
             "isect_keep_fraction": round(num_isects / max(demanded, 1), 4),
             "light_speed_ms": round(rep.light_speed_ms, 2),
             "fraction_of_light": round(rep.fraction_of_light, 4),

@@ -11,6 +11,7 @@ per-call loops measure only the dispatch floor.
 
 Usage:
   python examples/benchmark.py --gaussians 100000 --height 608 --width 800
+  python examples/benchmark.py --impls xla pallas --gaussians 10000 100000
 """
 
 from __future__ import annotations
@@ -34,21 +35,15 @@ from mojosplat_tpu.utils.metrics import amortized_ms  # noqa: E402
 from benchmark_proj import create_camera, generate_gaussian_data  # noqa: E402
 
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--gaussians", type=int, default=100_000)
-    ap.add_argument("--height", type=int, default=608)
-    ap.add_argument("--width", type=int, default=800)
-    ap.add_argument("--iterations", type=int, default=20)
-    ap.add_argument("--warmup", type=int, default=2)
-    ap.add_argument("--tile-batch", type=int, default=512)
-    ap.add_argument("--impl", default="pallas", choices=["xla", "pallas"])
-    args = ap.parse_args()
-
-    camera = create_camera(args.height, args.width)
-    cfg = RenderConfig(tile_batch=args.tile_batch, raster_impl=args.impl)
-    m, s, q, o = generate_gaussian_data(args.gaussians)
-    colors = jax.random.uniform(jax.random.PRNGKey(1), (args.gaussians, 3))
+def run_pipeline(args, camera, impl, n):
+    cfg = RenderConfig(
+        tile_batch=args.tile_batch, raster_impl=impl,
+        # CPU smoke runs execute the Pallas kernels in interpreter mode
+        # (same convention as the test suite, tests/conftest.py).
+        pallas_interpret=(jax.default_backend() == "cpu"),
+    )
+    m, s, q, o = generate_gaussian_data(n)
+    colors = jax.random.uniform(jax.random.PRNGKey(1), (n, 3))
 
     # Precompute stage inputs once; cameras are jit ARGUMENTS (closure
     # capture of device arrays drops this machine off its fast dispatch
@@ -97,7 +92,7 @@ def main():
     )
 
     npix = args.height * args.width
-    print(f"\nN={args.gaussians}  {args.width}x{args.height}  impl={args.impl}  "
+    print(f"\nN={n}  {args.width}x{args.height}  impl={impl}  "
           f"isects={int(binning.aux.num_isects)}")
     print(f"{'stage':<16} {'ms/iter':>10} {'Mpix/s':>10}")
     print("-" * 40)
@@ -105,6 +100,57 @@ def main():
         # amortized_ms can floor at 0.0 for sub-resolution stages (tiny CPU
         # smoke shapes); keep the table printable.
         print(f"{name:<16} {ms:>10.3f} {npix / max(ms, 1e-3) / 1e3:>10.2f}")
+    return results
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument(
+        "--gaussians", type=int, nargs="+", default=[100_000],
+        help="gaussian counts to sweep",
+    )
+    ap.add_argument("--height", type=int, default=608)
+    ap.add_argument("--width", type=int, default=800)
+    ap.add_argument("--iterations", type=int, default=20)
+    ap.add_argument("--warmup", type=int, default=2)
+    ap.add_argument("--tile-batch", type=int, default=512)
+    ap.add_argument(
+        "--impls", nargs="+", default=["pallas"],
+        choices=["xla", "pallas"],
+        help="rasterizer implementations to compare side by side (the "
+        "reference's per-stage backend axis, "
+        "/root/reference/mojosplat/rasterization.py:41-57)",
+    )
+    args = ap.parse_args()
+
+    camera = create_camera(args.height, args.width)
+    table = {}
+    for n in args.gaussians:
+        for impl in args.impls:
+            table[(n, impl)] = run_pipeline(args, camera, impl, n)
+
+    if len(args.impls) > 1 or len(args.gaussians) > 1:
+        # Reference-style cross-implementation comparison table
+        # (benchmark_proj.py:206-229 / speedup analysis :306-326), on the
+        # axis that matters here: XLA oracle vs Pallas production raster.
+        print(f"\n{'N':>10} {'impl':<8} {'fwd ms':>10} {'fwd+bwd ms':>12} "
+              f"{'Mpix/s (fwdbwd)':>16}")
+        print("-" * 62)
+        npix = args.height * args.width
+        for n in args.gaussians:
+            for impl in args.impls:
+                r = table[(n, impl)]
+                fb = r["e2e_fwd_bwd"]
+                print(f"{n:>10} {impl:<8} {r['e2e_forward']:>10.3f} "
+                      f"{fb:>12.3f} {npix / max(fb, 1e-3) / 1e3:>16.2f}")
+            if len(args.impls) > 1:
+                ms = {i: table[(n, i)]["e2e_fwd_bwd"] for i in args.impls}
+                fast = min(ms, key=ms.get)
+                slow = max(ms, key=ms.get)
+                if fast != slow:
+                    print(f"{'':>10} -> {fast} is "
+                          f"{ms[slow] / max(ms[fast], 1e-6):.2f}x faster "
+                          f"than {slow}")
 
 
 if __name__ == "__main__":

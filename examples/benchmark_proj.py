@@ -1,15 +1,22 @@
 """Projection-stage benchmark across gaussian counts.
 
 Mirrors the reference harness (/root/reference/examples/benchmark_proj.py):
-argparse CLI over gaussian counts and image size, warmup iterations excluded
-from timing, device-fenced timed loop (jax.block_until_ready replacing
-torch.cuda.synchronize, benchmark_proj.py:124-145), per-count results table
-(:206-229), optional log-log matplotlib plot (:232-271) and speedup analysis
-(:306-326). The backend axis is gone — there is one TPU-native implementation;
-the comparison axis here is jit vs eager dispatch.
+argparse CLI over implementations and gaussian counts (:274-288), warmup
+iterations excluded from timing, device-fenced timed loop
+(jax.block_until_ready replacing torch.cuda.synchronize,
+benchmark_proj.py:124-145), per-count results table (:206-229), optional
+log-log matplotlib plot (:232-271) and speedup analysis (:306-326).
+
+The reference's backend axis {torch, gsplat, mojo} maps to this build's
+two projection implementations: ``ewa`` (the reference's fused EWA
+linearization) and ``ut`` (the 3DGUT unscented transform through the exact
+camera map — the contribution the reference's README lists as future
+work). Both produce the same contract outputs, so the comparison is
+apples-to-apples like the reference's.
 
 Usage:
-  python examples/benchmark_proj.py --gaussians 1000 10000 100000 1000000
+  python examples/benchmark_proj.py --impls ewa ut \
+      --gaussians 1000 10000 100000 1000000
 """
 
 from __future__ import annotations
@@ -116,8 +123,32 @@ def plot_results(results, path):
     print(f"Plot saved to {path}")
 
 
+def speedup_analysis(results):
+    """Fastest/slowest implementation per N (benchmark_proj.py:306-326)."""
+    by_n = {}
+    for r in results:
+        by_n.setdefault(r.n_gaussians, []).append(r)
+    print("\nSpeedup analysis (per N, fastest vs slowest impl):")
+    for n in sorted(by_n):
+        rs = sorted(by_n[n], key=lambda r: r.mean_ms)
+        if len(rs) < 2:
+            continue
+        fast, slow = rs[0], rs[-1]
+        print(
+            f"  N={n:>9}: {fast.name} {fast.mean_ms:.3f} ms vs "
+            f"{slow.name} {slow.mean_ms:.3f} ms -> "
+            f"{slow.mean_ms / max(fast.mean_ms, 1e-6):.2f}x"
+        )
+
+
 def main():
     ap = argparse.ArgumentParser()
+    ap.add_argument(
+        "--impls", nargs="+", default=["ewa", "ut"],
+        choices=["ewa", "ut"],
+        help="projection implementations to compare (the reference's "
+        "backend axis, benchmark_proj.py:274-288)",
+    )
     ap.add_argument(
         "--gaussians", type=int, nargs="+",
         default=[1_000, 10_000, 100_000, 1_000_000],
@@ -130,22 +161,26 @@ def main():
     args = ap.parse_args()
 
     camera = create_camera(args.height, args.width)
-    cfg = RenderConfig()
-
-    def proj(m, s, q, o, cam):
-        return project_gaussians(m, s, q, o, cam, cfg)
 
     results = []
     for n in args.gaussians:
         data = generate_gaussian_data(n) + (camera,)
-        results.append(
-            benchmark_fn("proj", proj, data, args.warmup, args.iterations, n)
-        )
+        for impl in args.impls:
+            cfg = RenderConfig(projection_mode=impl)
+
+            def proj(m, s, q, o, cam, cfg=cfg):
+                return project_gaussians(m, s, q, o, cam, cfg)
+
+            results.append(
+                benchmark_fn(impl, proj, data, args.warmup,
+                             args.iterations, n)
+            )
     print_results_table(results)
 
     # Throughput scaling analysis (reference speedup analysis analogue).
-    if len(results) >= 2:
-        r0, r1 = results[0], results[-1]
+    per_impl = [r for r in results if r.name == args.impls[0]]
+    if len(per_impl) >= 2:
+        r0, r1 = per_impl[0], per_impl[-1]
         scale = (r1.n_gaussians / r0.n_gaussians) / (
             max(r1.mean_ms, 1e-3) / max(r0.mean_ms, 1e-3)
         )
@@ -153,6 +188,7 @@ def main():
             f"\nThroughput scaling {r0.n_gaussians} -> {r1.n_gaussians}: "
             f"{scale:.2f}x work per unit time (1.0 = linear cost)"
         )
+    speedup_analysis(results)
     if args.plot:
         plot_results(results, args.plot)
 

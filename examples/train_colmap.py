@@ -94,6 +94,14 @@ def main():
     ap.add_argument("--ssim-weight", type=float, default=0.2)
     ap.add_argument("--impl", default="pallas", choices=["xla", "pallas"])
     ap.add_argument("--tile-capacity", type=int, default=512)
+    ap.add_argument("--capacity-mult", type=int, default=4,
+                    help="intersection capacity as a multiple of N")
+    ap.add_argument(
+        "--tight-cull", action="store_true",
+        help="contribution-aware intersection culling (3DGS only): drop "
+        "AABB tile slots whose peak alpha cannot reach the blend "
+        "threshold, so the capacity budget holds only contributing slots",
+    )
     ap.add_argument("--max-gaussians", type=int, default=0,
                     help="static capacity (0 = round points up to 64k)")
     ap.add_argument("--out-dir", default="output/train_colmap")
@@ -231,6 +239,8 @@ def main():
     config = RenderConfig(
         tile_capacity=args.tile_capacity, chunk_size=64, max_tile_span=8,
         tile_batch=512, raster_impl=args.impl, pallas_chunk=128,
+        isect_padding_multiplier=args.capacity_mult,
+        tight_cull=args.tight_cull and not surfels,
     )
     optimizer = mtrain.make_optimizer(args.lr)
     state = mtrain.init_train_state(raw, optimizer)

@@ -99,6 +99,7 @@ def roofline_report(
     sh_bases: int = 16,
     backward: bool = True,
     chip: str = "v5e",
+    tile_size: int = 16,
 ) -> RooflineReport:
     """Roofline accounting for one fwd(+bwd) render step.
 
@@ -123,7 +124,7 @@ def roofline_report(
     image_bytes = n_pixels * 4 * 4.0 * (2.0 if backward else 1.0)
     hbm = (param_bytes * passes) + slot_bytes + image_bytes
 
-    pixels_per_tile = 256.0  # tile_size 16
+    pixels_per_tile = float(tile_size * tile_size)
     blend_flops = n_isects * pixels_per_tile * 24.0 * passes
     proj_flops = n_gaussians * (300.0 + 2 * sh_bases * 3) * passes
     flops = blend_flops + proj_flops

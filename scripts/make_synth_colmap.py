@@ -33,11 +33,16 @@ from mojosplat_tpu import Camera, RenderConfig, render_gaussians
 from mojosplat_tpu import train as mtrain
 from mojosplat_tpu.utils import save_gaussian_ply, save_png
 
-OUT = "output/synth_scene"
-H = W = 512
-N_VIEWS = 28
-N_SFM = 30_000
-N_OBS = 1_500  # 2D observations written per view
+# Env-overridable so round-5's HD capture (960x540, richer content, more
+# views — the trained-scene bench preset's source) reuses this generator
+# without disturbing the original 512x512 capture's reproducibility.
+OUT = os.environ.get("MS_OUT", "output/synth_scene")
+H = int(os.environ.get("MS_H", 512))
+W = int(os.environ.get("MS_W", 512))
+N_VIEWS = int(os.environ.get("MS_NVIEWS", 28))
+N_SFM = int(os.environ.get("MS_NSFM", 30_000))
+N_OBS = int(os.environ.get("MS_NOBS", 1_500))  # 2D observations per view
+DETAIL = float(os.environ.get("MS_DETAIL", 1.0))  # content richness scale
 SH = 3
 
 
@@ -51,7 +56,7 @@ def build_scene(rng):
         parts.append((means, scales, quats, colors, np.full((n,), opac)))
 
     # Floor sheet at y = +1 (gsplat convention: +Y down), checkered color.
-    n_f = 40_000
+    n_f = round(40_000 * DETAIL)
     fx = rng.uniform(-2.2, 2.2, n_f)
     fz = rng.uniform(-2.2, 2.2, n_f)
     fy = np.full(n_f, 1.0) + rng.normal(0, 0.01, n_f)
@@ -63,7 +68,7 @@ def build_scene(rng):
          fcol, 0.92)
 
     # Blob clusters.
-    for _ in range(60):
+    for _ in range(round(60 * DETAIL)):
         n_c = rng.integers(1200, 2200)
         center = rng.uniform([-1.6, -0.4, -1.6], [1.6, 0.95, 1.6])
         radius = rng.uniform(0.08, 0.3)
@@ -73,7 +78,7 @@ def build_scene(rng):
         part(means, np.exp(rng.normal(-3.6, 0.3, (n_c, 3))), cols, 0.85)
 
     # Thin vertical rods (high-frequency structure for densification).
-    for _ in range(40):
+    for _ in range(round(40 * DETAIL)):
         n_r = 500
         x0, z0 = rng.uniform(-1.8, 1.8, 2)
         y = np.linspace(-0.3, 1.0, n_r) + rng.normal(0, 0.004, n_r)

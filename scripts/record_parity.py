@@ -23,14 +23,20 @@ H, W, N = 600, 800, 100_000
 OUT = sys.argv[1] if len(sys.argv) > 1 else "PARITY_r04.json"
 
 KW = dict(tile_capacity=512, chunk_size=64, tile_batch=512, max_tile_span=8)
+# Round-5 production variant: 32x32 tiles + tight conic culling (the
+# headline preset's configuration) — parity recorded separately because it
+# exercises different kernel shapes and the mask-decode slot path.
+KW32 = dict(tile_capacity=512, chunk_size=64, tile_batch=512,
+            max_tile_span=4, tile_size=32, tight_cull=True,
+            isect_padding_multiplier=4)
 
 
-def config(impl, bf16=False):
-    return RenderConfig(**KW, raster_impl=impl, pallas_chunk=128,
-                        pallas_tiles_per_step=8, grad_route_bf16=bf16)
+def config(impl, bf16=False, kw=KW, chunk=128, tps=8):
+    return RenderConfig(**kw, raster_impl=impl, pallas_chunk=chunk,
+                        pallas_tiles_per_step=tps, grad_route_bf16=bf16)
 
 
-def family(render, params, sh_degree):
+def family(render, params, sh_degree, kw=KW, chunk=128, tps=8):
     cam = Camera.create(R=jnp.eye(3), T=jnp.zeros(3), H=H, W=W,
                         fx=0.5 * W, fy=0.5 * W, cx=W / 2, cy=H / 2)
     bg = jnp.array([0.2, 0.1, 0.3])
@@ -40,19 +46,23 @@ def family(render, params, sh_degree):
                       p["opacities"], p["features"], cam,
                       sh_degree=sh_degree, background_color=bg, config=cfg)
 
+    import functools
+
+    cfg = functools.partial(config, kw=kw, chunk=chunk, tps=tps)
+
     @jax.jit
     def run(p, cam):
-        ix = fwd(p, cam, config("xla"))
-        ip = fwd(p, cam, config("pallas"))
+        ix = fwd(p, cam, cfg("xla"))
+        ip = fwd(p, cam, cfg("pallas"))
         fwd_diff = jnp.max(jnp.abs(ix - ip))
         fwd_scale = jnp.max(jnp.abs(ix))
 
         def loss(p, cfg):
             return jnp.mean(fwd(p, cam, cfg) ** 2)
 
-        gx = jax.grad(loss)(p, config("xla"))
-        gp = jax.grad(loss)(p, config("pallas"))
-        gf = jax.grad(loss)(p, config("pallas", bf16=True))
+        gx = jax.grad(loss)(p, cfg("xla"))
+        gp = jax.grad(loss)(p, cfg("pallas"))
+        gf = jax.grad(loss)(p, cfg("pallas", bf16=True))
         rel = lambda a, b: {
             k: jnp.max(jnp.abs(a[k] - b[k]))
             / jnp.maximum(jnp.max(jnp.abs(b[k])), 1e-30)
@@ -121,6 +131,12 @@ def main():
         sparams["scales"] = params["scales"][:, :2]
         rec["2dgs"] = family(render_surfels, sparams, 2)
         print(json.dumps(rec["2dgs"], indent=1), flush=True)
+        flush()
+    if only in (None, "3dgs_ts32_tight") and "3dgs_ts32_tight" not in rec:
+        rec["3dgs_ts32_tight"] = family(
+            render_gaussians, params, 2, kw=KW32, chunk=128, tps=2
+        )
+        print(json.dumps(rec["3dgs_ts32_tight"], indent=1), flush=True)
         flush()
 
 

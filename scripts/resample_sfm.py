@@ -21,10 +21,12 @@ sys.path.insert(0, os.getcwd())
 from mojosplat_tpu.utils import load_gaussian_ply  # noqa: E402
 from mojosplat_tpu.utils import colmap as cm  # noqa: E402
 
-ROOT = "output/synth_scene"
+# Env-overridable (round 5: reseed the HD capture at 1M points for the
+# fixed-capacity trained-scene run).
+ROOT = os.environ.get("MS_ROOT", "output/synth_scene")
 SPARSE = os.path.join(ROOT, "sparse", "0")
-N_SFM = 110_000
-N_OBS = 4_000  # 2D observations sampled per view
+N_SFM = int(os.environ.get("MS_NSFM", 110_000))
+N_OBS = int(os.environ.get("MS_NOBS", 4_000))  # 2D observations per view
 C0 = 0.28209479177387814
 
 
@@ -65,8 +67,13 @@ def main():
     rgb = np.clip(
         np.asarray(ply["features"])[:, 0, :] * C0 + 0.5, 0.0, 1.0
     )
-    sel = rng.choice(means.shape[0], N_SFM, replace=False)
-    pts_xyz, pts_rgb = means[sel], rgb[sel]
+    # Sampling with replacement (plus a small positional jitter) covers
+    # the N_SFM > n_gt case — the fixed-capacity trainer seed.
+    replace = N_SFM > means.shape[0]
+    sel = rng.choice(means.shape[0], N_SFM, replace=replace)
+    pts_xyz, pts_rgb = means[sel].copy(), rgb[sel]
+    if replace:
+        pts_xyz += rng.normal(0, 0.01, pts_xyz.shape)
 
     # Per-view 2D observations of the resampled cloud.
     obs_per_view = []

@@ -170,6 +170,27 @@ def test_knn_matches_bruteforce():
     np.testing.assert_allclose(got, want, rtol=1e-4)
 
 
+def test_knn_morton_window_matches_exact():
+    """Beyond max_exact points the neighbor search takes candidates from a
+    Morton-order window (the exact quadratic pass costs hours at 1M points
+    on one CPU). Z-curve locality makes it near-exact: the median must
+    match the brute force and the tail overestimate stay bounded — a
+    biased estimate seeds wrongly-sized splats (a 6x overestimate from a
+    naive global subsample wrecked a round-5 training run)."""
+    rng = np.random.default_rng(5)
+    xyz = rng.normal(size=(9000, 3)).astype(np.float32)
+    exact = cm._mean_knn_dist(xyz, k=3)
+    approx = cm._mean_knn_dist(xyz, k=3, max_exact=1000)
+    assert np.all(np.isfinite(approx)) and np.all(approx > 0)
+    ratio = approx / np.maximum(exact, 1e-12)
+    # Morton windows can only MISS neighbors, never invent closer ones
+    # (tolerance: the exact path's expanded |a|^2+|b|^2-2ab form carries
+    # f32 cancellation the window path's (a-b)^2 does not).
+    assert float(ratio.min()) >= 1.0 - 1e-3
+    assert abs(float(np.median(ratio)) - 1.0) < 0.01
+    assert float(np.percentile(ratio, 95)) < 2.0
+
+
 def test_renders_from_colmap_camera(sparse_dir):
     """End-to-end: a COLMAP-initialized scene renders through the pipeline."""
     import jax.numpy as jnp
